@@ -1,13 +1,195 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/**
+ * Driver contract (see SURVEY.md §7): one `queries` entry per implemented
+ * operator, each with DuckDB-equivalent `oracleSql` where SQL-expressible.
+ *
+ * Oracle-parity rules used throughout (driver hashes values column-sorted):
+ *  - every computed column aliased identically in Spark and SQL;
+ *  - no floating-point aggregates (sums are exact: BIGINT or cents via
+ *    floor(x*100)); min/max on doubles are exact value picks and safe;
+ *  - regexes restricted to constructs with identical Java/RE2 semantics
+ *    (ASCII classes, explicit code-point ranges);
+ *  - deterministic ORDER BY on both sides.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = tbl(spark, "/root/testdata/sf0.001", "documents")
+    docs.select(
+      col("doc_id"),
+      TextFunctions.sanitize_text(col("text")).as("text_clean"),
+      TextFunctions.printable_ratio(col("text")).as("printable_ratio"),
+      TextFunctions.text_quality(col("text")).as("quality"))
+      .filter(col("printable_ratio") >= 0.0)
+  }
+
+  // The sanitize keep-set as an RE2/Java-identical character class:
+  // 0x20..0x7E, \t \n \r, U+00A0..U+FFFF (astral chars removed — both
+  // engines range char classes over code points).
+  private val SanitizeDuck = """[^ -~\n\r\t\x{00A0}-\x{FFFF}]"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----- T6 sanitize as a native codegen'd Catalyst expression -----
+    "q_sanitize" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.sanitize_text(col("text")).as("text_clean"))
+        .orderBy("doc_id")
+    }),
+    // ----- T5 truncation (code-point substring) -----
+    "q_truncate" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 100).as("text_head"))
+        .orderBy("doc_id")
+    }),
+    // ----- token counting (whitespace tokens, ASCII \S identical in RE2/Java) -----
+    "q_token_count" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0))).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+    // ----- document fingerprint: md5 over whitespace-collapsed lowercase -----
+    "q_fingerprint" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(regexp_replace(lower(col("text")), """\s+""", " ")).as("fp"))
+        .orderBy("doc_id")
+    }),
+    // ----- exact dedup: clusters by content fingerprint -----
+    "q_dedup_exact" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("first_doc"))
+        .orderBy("fp")
+    }),
+    "q_dedup_count" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .agg(countDistinct(md5(col("text"))).as("n_unique"), count(lit(1)).as("n_total"))
+    }),
+    // ----- per-language length stats (pure BIGINT aggregates) -----
+    "q_lang_stats" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+        .orderBy("lang")
+    }),
+    // ----- A1-style status rollup over events -----
+    "q_events_rollup" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+          min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+        .orderBy("event_type")
+    }),
+    // ----- hourly windowed rollup (string-formatted hour: engine-neutral) -----
+    "q_events_hourly" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("hour", "event_type")
+    }),
+    // ----- S1 resume semantics: pending = all minus processed (anti-join) -----
+    "q_resume_antijoin" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val processed = docs.filter(col("doc_id") % 10 < 3).select("doc_id")
+      docs.join(processed, Seq("doc_id"), "left_anti")
+        .select("doc_id").orderBy("doc_id")
+    }),
+    // ----- §4.3 salt distribution (Knuth multiplicative hash, engine-neutral) -----
+    "q_salt_distribution" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(((col("doc_id") * lit(2654435761L)) % lit(4294967296L) % lit(64)).as("salt"))
+        .groupBy("salt").agg(count(lit(1)).as("n"))
+        .orderBy("salt")
+    }),
+    // ----- TPC-H Q1-style agg, exact integer arithmetic -----
+    "q_tpch_q1" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+          sum(floor(col("l_extendedprice") * 100).cast("bigint")).as("sum_price_cents"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    // ----- broadcast join: per-customer order stats -----
+    "q_top_customers" -> ((s, dir) => {
+      val orders = tbl(s, dir, "orders")
+      val customer = tbl(s, dir, "customer")
+      orders.join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100).cast("bigint")).as("sum_cents"))
+        .orderBy(col("n_orders").desc, col("c_custkey")).limit(100)
+    }),
+    // ----- text-quality components (integer counts; ASCII-safe regexes) -----
+    "q_text_stats" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      docs.select(col("doc_id"),
+        length(col("text")).as("n_cp"),
+        size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0))).as("n_tokens"),
+        length(regexp_replace(col("text"), "[^ -~]", "")).as("n_ascii_printable"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("""\b(the|and|of|to|in|is|that|for|it|on)\b"""), lit(0))).as("n_stopwords"))
+        .orderBy("doc_id")
+    }),
+    // ----- language-ID heuristic (stopword votes, deterministic tie-break) -----
+    "q_lang_id" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val en = size(regexp_extract_all(lower(col("text")),
+        lit("""\b(the|and|of|to|in|is|that|for|with|was)\b"""), lit(0)))
+      val de = size(regexp_extract_all(lower(col("text")),
+        lit("""\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b"""), lit(0)))
+      val es = size(regexp_extract_all(lower(col("text")),
+        lit("""\b(el|la|los|las|de|que|es|en|un|una)\b"""), lit(0)))
+      docs.select(col("doc_id"), en.as("s_en"), de.as("s_de"), es.as("s_es"),
+        when(en >= de && en >= es, "en")
+          .when(de >= es, "de").otherwise("es").as("lang_guess"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_sanitize" ->
+      s"SELECT doc_id, regexp_replace(text, '$SanitizeDuck', '', 'g') AS text_clean FROM documents ORDER BY doc_id",
+    "q_truncate" ->
+      "SELECT doc_id, left(text, 100) AS text_head FROM documents ORDER BY doc_id",
+    "q_token_count" ->
+      """SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents ORDER BY doc_id""",
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM documents ORDER BY doc_id""",
+    "q_dedup_exact" ->
+      "SELECT md5(text) AS fp, count(*) AS cnt, min(doc_id) AS first_doc FROM documents GROUP BY 1 ORDER BY fp",
+    "q_dedup_count" ->
+      "SELECT count(DISTINCT md5(text)) AS n_unique, count(*) AS n_total FROM documents",
+    "q_lang_stats" ->
+      "SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars, min(n_chars) AS min_chars, max(n_chars) AS max_chars FROM documents GROUP BY lang ORDER BY lang",
+    "q_events_rollup" ->
+      "SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users, min(value) AS vmin, max(value) AS vmax FROM events GROUP BY event_type ORDER BY event_type",
+    "q_events_hourly" ->
+      "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type, count(*) AS n FROM events GROUP BY 1, 2 ORDER BY hour, event_type",
+    "q_resume_antijoin" ->
+      "SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 10 < 3) ORDER BY doc_id",
+    "q_salt_distribution" ->
+      "SELECT (doc_id * 2654435761) % 4294967296 % 64 AS salt, count(*) AS n FROM documents GROUP BY 1 ORDER BY salt",
+    "q_tpch_q1" ->
+      "SELECT l_returnflag, l_linestatus, count(*) AS n, sum(CAST(l_quantity AS BIGINT)) AS sum_qty, sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents FROM lineitem WHERE l_shipdate <= '1998-09-02' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "q_top_customers" ->
+      "SELECT c_custkey, c_mktsegment, count(*) AS n_orders, sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS sum_cents FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_custkey, c_mktsegment ORDER BY n_orders DESC, c_custkey LIMIT 100",
+    "q_text_stats" ->
+      """SELECT doc_id, length(text) AS n_cp, len(regexp_extract_all(text, '\S+')) AS n_tokens, length(regexp_replace(text, '[^ -~]', '', 'g')) AS n_ascii_printable, len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|it|on)\b')) AS n_stopwords FROM documents ORDER BY doc_id""",
+    "q_lang_id" ->
+      """SELECT doc_id, len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|with|was)\b')) AS s_en, len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b')) AS s_de, len(regexp_extract_all(lower(text), '\b(el|la|los|las|de|que|es|en|un|una)\b')) AS s_es, CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en' WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS lang_guess FROM documents ORDER BY doc_id"""
+  )
 }

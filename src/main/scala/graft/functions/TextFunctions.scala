@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.functions.{column => _, _}
+
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import graft.kernel.{QualityScore, TextKernel}
+
+/**
+ * Native Catalyst expressions for the reference's byte-level text operators
+ * (sanitize / printable-ratio / quality), so they are usable from both the
+ * Column API and SQL, and stay inside whole-stage codegen (each doGenCode
+ * emits a static call — no Scala-UDF serialization, no InternalRow boxing).
+ *
+ * Reference: sanitize src/uploader.py:159-172; printable ratio
+ * src/processor.py:700-701; quality src/ocr_watcher.py:75-89.
+ */
+object TextExprs {
+  /** Static entry points for codegen (stable JVM names). */
+  def sanitizeUTF8(s: UTF8String): UTF8String =
+    UTF8String.fromString(TextKernel.sanitize(s.toString))
+  def printableRatioStr(s: UTF8String): Double = {
+    val t = s.toString
+    if (t.isEmpty) 0.0 else TextKernel.printableRatio(t)
+  }
+  def qualityStr(s: UTF8String): Double = QualityScore.computeQuality(s.toString)
+}
+
+abstract class StringKernelExpr extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType}")
+  protected def staticCall: String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$staticCall($c)")
+}
+
+/** sanitize_text(s): truncate->NUL-strip->keep {0x20..0x7E, \t\n\r, 0xA0..0xFFFF}. */
+case class SanitizeText(child: Expression) extends StringKernelExpr {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = TextExprs.sanitizeUTF8(v.asInstanceOf[UTF8String])
+  override protected def staticCall = "graft.functions.TextExprs.sanitizeUTF8"
+  override protected def withNewChildInternal(c: Expression): SanitizeText = copy(child = c)
+  override def prettyName: String = "sanitize_text"
+}
+
+/** printable_ratio(s): fraction of code points passing Python isprintable or \n\r\t. */
+case class PrintableRatio(child: Expression) extends StringKernelExpr {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = TextExprs.printableRatioStr(v.asInstanceOf[UTF8String])
+  override protected def staticCall = "graft.functions.TextExprs.printableRatioStr"
+  override protected def withNewChildInternal(c: Expression): PrintableRatio = copy(child = c)
+  override def prettyName: String = "printable_ratio"
+}
+
+/** text_quality(s): wordlist hit-ratio (O4). */
+case class TextQuality(child: Expression) extends StringKernelExpr {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = TextExprs.qualityStr(v.asInstanceOf[UTF8String])
+  override protected def staticCall = "graft.functions.TextExprs.qualityStr"
+  override protected def withNewChildInternal(c: Expression): TextQuality = copy(child = c)
+  override def prettyName: String = "text_quality"
+}
+
+object TextFunctions {
+  def sanitize_text(c: Column): Column = ColumnBridge.column(SanitizeText(ColumnBridge.expression(c)))
+  def printable_ratio(c: Column): Column = ColumnBridge.column(PrintableRatio(ColumnBridge.expression(c)))
+  def text_quality(c: Column): Column = ColumnBridge.column(TextQuality(ColumnBridge.expression(c)))
+
+  /** SQL registration: SELECT sanitize_text(text) ... */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("sanitize_text", es => SanitizeText(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("printable_ratio", es => PrintableRatio(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("text_quality", es => TextQuality(es.head), "scala_udf")
+  }
+}
