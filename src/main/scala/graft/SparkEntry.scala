@@ -21,15 +21,24 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  /** Flagship: the full extraction pipeline (scan -> salt/repartition ->
+    * mapPartitions kernel) over a deterministic 1k-page synthesized corpus
+    * (BASELINE.json: "synthesise it deterministically at small scale").
+    * Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
-    val docs = tbl(spark, "/root/testdata/sf0.001", "documents")
-    docs.select(
-      col("doc_id"),
-      TextFunctions.sanitize_text(col("text")).as("text_clean"),
-      TextFunctions.printable_ratio(col("text")).as("printable_ratio"),
-      TextFunctions.text_quality(col("text")).as("quality"))
-      .filter(col("printable_ratio") >= 0.0)
+    import spark.implicits._
+    val pages = spark.range(1000)
+      .mapPartitions(_.map(i => graft.fixtures.PageGen.page(i, 42L)))
+      .toDF()
+    val salted = pages
+      .withColumn("salt", pmod(xxhash64(col("url")), lit(64)).cast("int"))
+      .repartition(8, col("salt"))
+      .select(col("url"), col("html"))
+      .as[graft.pipeline.Extract.PageSlim]
+    salted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      it.map(p => graft.kernel.ExtractKernel.extractOne(p.url, p.html, pid, 0))
+    }.toDF().select("url", "doc_type", "n_chars", "quality")
   }
 
   // The sanitize keep-set as an RE2/Java-identical character class:
@@ -143,6 +152,44 @@ object SparkEntry {
         size(regexp_extract_all(lower(col("text")),
           lit("""\b(the|and|of|to|in|is|that|for|it|on)\b"""), lit(0))).as("n_stopwords"))
         .orderBy("doc_id")
+    }),
+    // ----- flagship extraction over deterministic synthesized pages -----
+    // (no SQL oracle: HTML tokenizer/PDF parser are not SQL-expressible;
+    //  byte-identity is enforced by GoldenCorpusSpec against CPython goldens)
+    "q_extract_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val pages = s.range(2000)
+        .mapPartitions(_.map(i => graft.fixtures.PageGen.page(i, 42L))).toDF()
+      val salted = pages
+        .withColumn("salt", pmod(xxhash64(col("url")), lit(64)).cast("int"))
+        .repartition(col("salt"))
+        .select(col("url"), col("html"))
+        .as[graft.pipeline.Extract.PageSlim]
+      salted.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        it.map(p => graft.kernel.ExtractKernel.extractOne(p.url, p.html, pid, 0))
+      }.toDF()
+        .select(col("url"), col("doc_type"),
+          md5(coalesce(col("extracted_text"), lit(""))).as("text_md5"),
+          col("n_chars"), size(col("spans")).as("n_spans"))
+        .orderBy("url")
+    }),
+    // ----- status rollup over the extraction output (A1/K6 semantics) -----
+    "q_extract_status" -> ((s, dir) => {
+      import s.implicits._
+      val pages = s.range(2000)
+        .mapPartitions(_.map(i => graft.fixtures.PageGen.page(i, 42L))).toDF()
+        .select(col("url"), col("html"))
+        .as[graft.pipeline.Extract.PageSlim]
+      pages.mapPartitions { it =>
+        it.map(p => graft.kernel.ExtractKernel.extractOne(p.url, p.html, 0, 0))
+      }.toDF()
+        .withColumn("status",
+          when(col("error").isNotNull, "error")
+            .when(col("extracted_text").isNotNull, "done")
+            .otherwise("done_empty"))
+        .groupBy("status", "doc_type").agg(count(lit(1)).as("n"))
+        .orderBy("status", "doc_type")
     }),
     // ----- language-ID heuristic (stopword votes, deterministic tie-break) -----
     "q_lang_id" -> ((s, dir) => {

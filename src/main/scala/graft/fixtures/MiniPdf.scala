@@ -1,0 +1,112 @@
+package graft.fixtures
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.ISO_8859_1
+import java.util.zip.Deflater
+
+/**
+ * Deterministic minimal-PDF writer for fixtures: classic xref table,
+ * catalog/pages/page tree, Helvetica, FlateDecode content streams with
+ * BT/Tf/Td/TL/Tstar/Tj/TJ text operators — exactly the input domain of
+ * graft.kernel.pdf. No wall-clock, no randomness: byte-reproducible.
+ */
+object MiniPdf {
+
+  /** One page = lines of text (top-down). Empty seq => blank page. */
+  def build(pages: Seq[Seq[String]], compress: Boolean = true, useTJ: Boolean = false): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    def wBytes(b: Array[Byte]): Unit = out.write(b)
+
+    w("%PDF-1.4\n%âãÏÓ\n")
+
+    val nPages = pages.length
+    // object numbering: 1=catalog, 2=pages, 3=font, 4..3+n=page, 4+n..3+2n=content
+    val catalogNum = 1; val pagesNum = 2; val fontNum = 3
+    def pageNum(i: Int) = 4 + i
+    def contentNum(i: Int) = 4 + nPages + i
+    val total = 3 + 2 * nPages
+
+    def beginObj(num: Int): Unit = { offsets += out.size(); w(s"$num 0 obj\n") }
+
+    beginObj(catalogNum)
+    w(s"<< /Type /Catalog /Pages $pagesNum 0 R >>\nendobj\n")
+    beginObj(pagesNum)
+    val kids = (0 until nPages).map(i => s"${pageNum(i)} 0 R").mkString(" ")
+    w(s"<< /Type /Pages /Kids [ $kids ] /Count $nPages >>\nendobj\n")
+    beginObj(fontNum)
+    w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>\nendobj\n")
+
+    (0 until nPages).foreach { i =>
+      beginObj(pageNum(i))
+      w(s"<< /Type /Page /Parent $pagesNum 0 R /MediaBox [ 0 0 612 792 ] " +
+        s"/Resources << /Font << /F1 $fontNum 0 R >> >> /Contents ${contentNum(i)} 0 R >>\nendobj\n")
+    }
+
+    (0 until nPages).foreach { i =>
+      val content = contentFor(pages(i), useTJ)
+      val body = if (compress) deflate(content) else content
+      beginObj(contentNum(i))
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      w(s"<< /Length ${body.length}$filter >>\nstream\n")
+      wBytes(body)
+      w("\nendstream\nendobj\n")
+    }
+
+    val xrefPos = out.size()
+    w(s"xref\n0 ${total + 1}\n")
+    w("0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${total + 1} /Root $catalogNum 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
+    out.toByteArray
+  }
+
+  private def contentFor(lines: Seq[String], useTJ: Boolean): Array[Byte] = {
+    val sb = new StringBuilder
+    if (lines.nonEmpty) {
+      sb.append("BT\n/F1 12 Tf\n14 TL\n72 720 Td\n")
+      lines.zipWithIndex.foreach { case (line, idx) =>
+        if (idx > 0) sb.append("T*\n")
+        if (useTJ) {
+          // split words into a TJ array with kern gaps
+          val parts = line.split(" ", -1)
+          val arr = parts.map(p => s"(${esc(p)})").mkString(" -250 ")
+          sb.append(s"[ $arr ] TJ\n")
+        } else sb.append(s"(${esc(line)}) Tj\n")
+      }
+      sb.append("ET\n")
+    }
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  /** PDF literal-string escaping; non-Latin-1 chars are dropped (fixture
+    * strings are WinAnsi-safe by construction). */
+  private def esc(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '(' => sb.append("\\(")
+      case ')' => sb.append("\\)")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c.toInt <= 0xFF => sb.append(c)
+      case _ => sb.append('?')
+    }
+    sb.toString
+  }
+
+  def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.BEST_COMPRESSION)
+    d.setInput(data); d.finish()
+    val out = new ByteArrayOutputStream(data.length / 2 + 32)
+    val chunk = new Array[Byte](8192)
+    while (!d.finished()) {
+      val k = d.deflate(chunk)
+      out.write(chunk, 0, k)
+    }
+    d.end()
+    out.toByteArray
+  }
+}

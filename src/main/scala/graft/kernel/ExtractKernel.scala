@@ -1,0 +1,126 @@
+package graft.kernel
+
+import graft.kernel.html.MainContent
+import graft.kernel.pdf.{PdfDocument, PdfExtract}
+
+/**
+ * Per-row extraction kernel: payload sniffing + routed extraction. This is
+ * the Spark-task equivalent of the reference's isolated processor container
+ * (one partition = one batch of jobs, SURVEY.md §1.3).
+ *
+ * Routing (SURVEY.md §2.3 R4, adapted per §7.4: our table has no filename,
+ * so the extension dispatch of /root/reference/src/processor.py:716-821
+ * becomes content sniffing; priority order preserved for the payload types
+ * that exist on the web path):
+ *   1. "%PDF-" magic            -> PDF embedded-text path (T1/F5)
+ *   2. HTML tag sniff           -> raw-decode T3 (reference-exact: .html is
+ *      in TEXT_EXTRACT_EXTENSIONS, src/settings.py:58) + NEW main-content
+ *      extraction (north_star F6b) with spans
+ *   3. everything else          -> fallback gate T4 (size/NUL/printable)
+ *
+ * extracted_text reproduces the reference byte-for-byte; text_main/spans/
+ * title are the new north_star outputs; quality is O4.
+ */
+object ExtractKernel {
+
+  final case class Span(kind: String, start: Long, end: Long)
+  final case class Lineage(partition_id: Int, attempt: Int, extractor: String)
+  final case class ExtractedDoc(
+      url: String,
+      doc_type: String,
+      extracted_text: Option[String], // reference-exact invariant column
+      text_main: Option[String],      // boilerplate-stripped (html only)
+      title: Option[String],
+      spans: Seq[Span],
+      quality: Double,
+      n_chars: Long,
+      error: Option[String],
+      lineage: Lineage)
+
+  /** Content sniffing replaces extension routing (deviation §7.4). */
+  def sniff(bytes: Array[Byte]): String = {
+    if (PdfDocument.isPdf(bytes)) return "pdf"
+    // look for an HTML opener in the first 1024 bytes, case-insensitive
+    val limit = math.min(bytes.length, 1024)
+    var i = 0
+    while (i < limit) {
+      if (bytes(i) == '<' && i + 1 < limit) {
+        val rest = limit - i
+        if (matchesAt(bytes, i, "<!doctype") || matchesAt(bytes, i, "<html") ||
+          matchesAt(bytes, i, "<head") || matchesAt(bytes, i, "<body") ||
+          matchesAt(bytes, i, "<?xml")) return "html"
+        // first tag-like opener that is a letter => treat as markup only if
+        // it appears at the very start (ignoring whitespace)
+        if (isLeadingWhitespaceOnly(bytes, i) &&
+          (isLetter(bytes(i + 1)) || bytes(i + 1) == '!' || bytes(i + 1) == '/')) return "html"
+      }
+      i += 1
+    }
+    "other"
+  }
+
+  @inline private def isLetter(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')
+
+  private def isLeadingWhitespaceOnly(bytes: Array[Byte], until: Int): Boolean = {
+    var i = 0
+    while (i < until) {
+      val c = bytes(i)
+      if (c != ' ' && c != '\t' && c != '\r' && c != '\n' && c != '\f') return false
+      i += 1
+    }
+    true
+  }
+
+  private def matchesAt(bytes: Array[Byte], at: Int, pat: String): Boolean = {
+    if (at + pat.length > bytes.length) return false
+    var j = 0
+    while (j < pat.length) {
+      val c = Character.toLowerCase((bytes(at + j) & 0xFF).toChar)
+      if (c != pat.charAt(j)) return false
+      j += 1
+    }
+    true
+  }
+
+  /** Extract one page. Never throws: failures land in `error` (quarantine
+    * semantics of src/queue.py:59-78 / task-retry + quarantine per SURVEY
+    * §2.2 K2). */
+  def extractOne(url: String, html: Array[Byte], partitionId: Int, attempt: Int,
+                 cfg: TextKernel.Config = TextKernel.defaultConfig): ExtractedDoc = {
+    val bytes = if (html == null) Array.emptyByteArray else html
+    val docType = try sniff(bytes) catch { case _: Throwable => "other" }
+    try {
+      docType match {
+        case "pdf" =>
+          val text = PdfExtract.extractText(bytes, cfg)
+          done(url, "pdf", text, text, None, Seq.empty, partitionId, attempt, "pdf-lite")
+        case "html" =>
+          val raw = TextKernel.extractTextFromFile(bytes, cfg) // byte-identical invariant
+          val decoded = TextKernel.decodeUtf8Strict(bytes).getOrElse(TextKernel.decodeLatin1(bytes))
+          val mc = MainContent.extract(decoded)
+          val main = if (TextKernel.hasContent(mc.text)) Some(mc.text) else None
+          val spans = mc.spans.map(s => Span(s.kind, s.start, s.end))
+          val title = if (mc.title.nonEmpty) Some(mc.title) else None
+          done(url, "html", raw, main, title, spans, partitionId, attempt, "html-tokenizer")
+        case _ =>
+          val text = TextKernel.extractTextFallback(bytes, cfg)
+          done(url, "other", text, text, None, Seq.empty, partitionId, attempt, "fallback")
+      }
+    } catch {
+      case e: Throwable =>
+        ExtractedDoc(url, docType, None, None, None, Seq.empty, 0.5, 0L,
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"),
+          Lineage(partitionId, attempt, "error"))
+    }
+  }
+
+  private def done(url: String, docType: String, text: Option[String],
+                   main: Option[String], title: Option[String], spans: Seq[Span],
+                   pid: Int, attempt: Int, extractor: String): ExtractedDoc = {
+    val q = text.map(QualityScore.computeQuality(_)).getOrElse(0.5)
+    ExtractedDoc(url, docType, text, main, title, spans, q,
+      text.map(TextKernel.cpLength(_).toLong).getOrElse(0L), None,
+      Lineage(pid, attempt, extractor))
+  }
+}

@@ -1,0 +1,183 @@
+package graft.kernel.pdf
+
+import scala.collection.mutable
+import PdfParser._
+
+/**
+ * Content-stream text interpreter: executes the PDF text-positioning and
+ * text-showing operators and assembles layout-ordered page text.
+ *
+ * Supported operators: BT ET; Tf TL Tc Tw Tz Ts; Td TD Tm T*; Tj TJ ' ";
+ * q Q cm (CTM stack). Everything else is consumed operand-wise and ignored
+ * (safe for path/color/image operators).
+ *
+ * Simple-font assumption: string bytes decode as Latin-1-compatible
+ * (Standard/WinAnsi); UTF-16BE strings (BOM FE FF) decoded as such. Glyph
+ * widths are not modeled — layout ordering relies on explicit positioning
+ * (Td/TD/Tm/Tstar), which is how real-world generators emit body text lines.
+ */
+object TextInterp {
+
+  private final case class Run(x: Double, y: Double, seq: Int, text: String)
+
+  // 3x2 affine matrix (a b c d e f): [x' y'] = [x y 1] * M
+  private type Mat = Array[Double]
+  private def matIdentity: Mat = Array(1, 0, 0, 1, 0, 0)
+  private def matMul(m1: Mat, m2: Mat): Mat = Array(
+    m1(0) * m2(0) + m1(1) * m2(2),
+    m1(0) * m2(1) + m1(1) * m2(3),
+    m1(2) * m2(0) + m1(3) * m2(2),
+    m1(2) * m2(1) + m1(3) * m2(3),
+    m1(4) * m2(0) + m1(5) * m2(2) + m2(4),
+    m1(4) * m2(1) + m1(5) * m2(3) + m2(5))
+
+  private val LineTolerance = 2.0
+  /** TJ kern adjustment (in text-space thousandths) that implies a word gap. */
+  private val KernSpaceThreshold = -180.0
+
+  def decodeString(bytes: Array[Byte]): String = {
+    if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFE && (bytes(1) & 0xFF) == 0xFF)
+      new String(bytes, 2, bytes.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
+    else new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  /** Extract layout-ordered text from one decoded content stream. */
+  def extract(content: Array[Byte]): String = {
+    if (content.isEmpty) return ""
+    val runs = mutable.ArrayBuffer.empty[Run]
+    val lex = new Lexer(content)
+    val operands = mutable.ArrayBuffer.empty[Obj]
+
+    var ctm: Mat = matIdentity
+    val ctmStack = mutable.Stack.empty[Mat]
+    var tm: Mat = matIdentity
+    var tlm: Mat = matIdentity
+    var leading = 0.0
+    var fontSize = 1.0
+    var seq = 0
+    var inText = false
+
+    def num(o: Obj): Double = o match { case PNum(v) => v; case _ => 0.0 }
+
+    def emit(s: String): Unit = {
+      if (s.nonEmpty) {
+        val dev = matMul(tm, ctm)
+        runs += Run(dev(4), dev(5), seq, s)
+        seq += 1
+      }
+    }
+
+    def td(tx: Double, ty: Double): Unit = {
+      tlm = matMul(Array(1, 0, 0, 1, tx, ty), tlm)
+      tm = tlm.clone()
+    }
+
+    var guard = 0
+    val maxOps = 5000000
+    while (lex.pos < lex.n && guard < maxOps) {
+      guard += 1
+      lex.skipWs()
+      if (lex.pos >= lex.n) ()
+      else {
+        val c = lex.peek
+        if (c == '/' || c == '(' || c == '<' || c == '[' || c == '+' || c == '-' || c == '.' ||
+          (c >= '0' && c <= '9')) {
+          operands += lex.parseObj()
+          if (operands.length > 64) operands.remove(0, operands.length - 64)
+        } else {
+          val op = lex.readToken()
+          if (op.isEmpty) lex.pos += 1
+          else {
+            op match {
+              case "BT" => inText = true; tm = matIdentity; tlm = matIdentity
+              case "ET" => inText = false
+              case "Tf" => if (operands.nonEmpty) fontSize = num(operands.last)
+              case "TL" => if (operands.nonEmpty) leading = num(operands.last)
+              case "Td" if operands.length >= 2 =>
+                td(num(operands(operands.length - 2)), num(operands.last))
+              case "TD" if operands.length >= 2 =>
+                leading = -num(operands.last)
+                td(num(operands(operands.length - 2)), num(operands.last))
+              case "Tm" if operands.length >= 6 =>
+                val o = operands.takeRight(6).map(num).toArray
+                tlm = o; tm = o.clone()
+              case "T*" => td(0, -leading)
+              case "Tj" =>
+                operands.lastOption match {
+                  case Some(PStr(b)) => emit(decodeString(b))
+                  case _ =>
+                }
+              case "'" =>
+                td(0, -leading)
+                operands.lastOption match {
+                  case Some(PStr(b)) => emit(decodeString(b))
+                  case _ =>
+                }
+              case "\"" =>
+                // aw ac string "
+                td(0, -leading)
+                operands.lastOption match {
+                  case Some(PStr(b)) => emit(decodeString(b))
+                  case _ =>
+                }
+              case "TJ" =>
+                operands.lastOption match {
+                  case Some(PArr(items)) =>
+                    val sb = new java.lang.StringBuilder
+                    items.foreach {
+                      case PStr(b) => sb.append(decodeString(b))
+                      case PNum(adj) if adj < KernSpaceThreshold =>
+                        if (sb.length > 0 && sb.charAt(sb.length - 1) != ' ') sb.append(' ')
+                      case _ =>
+                    }
+                    emit(sb.toString)
+                  case _ =>
+                }
+              case "q" => ctmStack.push(ctm.clone())
+              case "Q" => if (ctmStack.nonEmpty) ctm = ctmStack.pop()
+              case "cm" if operands.length >= 6 =>
+                ctm = matMul(operands.takeRight(6).map(num).toArray, ctm)
+              case "BI" => // inline image: skip to EI
+                val pat = Array[Byte]('E', 'I')
+                var i = lex.pos
+                var found = false
+                while (i + 1 < lex.n && !found) {
+                  if (lex.buf(i) == 'E' && lex.buf(i + 1) == 'I') { found = true }
+                  else i += 1
+                }
+                lex.pos = if (found) i + 2 else lex.n
+              case _ => // ignore op
+            }
+            operands.clear()
+          }
+        }
+      }
+    }
+    assemble(runs)
+  }
+
+  /** Group runs into lines (y within tolerance), order top-to-bottom then
+    * left-to-right, join with spaces on x-gaps, "\n" between lines, trailing
+    * "\n" on non-empty pages. */
+  private def assemble(runs: mutable.ArrayBuffer[Run]): String = {
+    if (runs.isEmpty) return ""
+    val sorted = runs.sortBy(r => (-r.y, r.x, r.seq))
+    val sb = new java.lang.StringBuilder
+    var lineY = Double.NaN
+    var firstInLine = true
+    var lastX = Double.NaN
+    sorted.foreach { r =>
+      if (lineY.isNaN) { lineY = r.y }
+      else if (math.abs(r.y - lineY) > LineTolerance) {
+        sb.append('\n'); lineY = r.y; firstInLine = true; lastX = Double.NaN
+      }
+      if (!firstInLine && !lastX.isNaN && r.x > lastX + 0.5 &&
+        sb.length > 0 && sb.charAt(sb.length - 1) != ' ') sb.append(' ')
+      sb.append(r.text)
+      firstInLine = false
+      lastX = r.x
+    }
+    if (sb.length > 0) sb.append('\n')
+    sb.toString
+  }
+}

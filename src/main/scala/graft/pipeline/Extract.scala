@@ -1,0 +1,153 @@
+package graft.pipeline
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+import graft.kernel.ExtractKernel
+import graft.tables.SnapshotTable
+
+/**
+ * The flagship dataflow (SURVEY.md §3.4) — the whole reference pipeline
+ * (fetcher -> orchestrator -> processor -> uploader,
+ * /root/reference/src/orchestrator.py + app.py) as ONE Spark job:
+ *
+ *   scan pages (column-pruned to url+html)
+ *     -> anti-join against committed output snapshot   (resume; S1/S2)
+ *     -> salt on xxhash64(url) + repartition            (skew defuse; §4.3)
+ *     -> mapPartitions(ExtractKernel)                   (the "container")
+ *     -> append to SnapshotTable + atomic commit        (uploader/K1)
+ *
+ * Explicit physical decisions (north_rule): exactly one shuffle (the salted
+ * repartition); the scan prunes to (url, html) so the fat binary column is
+ * the only payload moved; the anti-join build side is the committed url set
+ * (sort-merge at scale — NOT broadcast, the done-set grows unboundedly);
+ * partition count P and salt count S are explicit inputs sized for
+ * ~128MB html per task at the target scale.
+ */
+object Extract {
+
+  final case class Metrics(version: Int, input: Long, extracted: Long,
+                           failed: Long, bytesIn: Long)
+
+  final case class PageSlim(url: String, html: Array[Byte])
+
+  /** Run one incremental extraction pass. */
+  def run(spark: SparkSession, pagesDf: DataFrame, table: SnapshotTable,
+          numSalts: Int = 256, numPartitions: Int = 0,
+          attempt: Int = 0): Metrics = {
+    import spark.implicits._
+
+    val p = if (numPartitions > 0) numPartitions
+            else spark.sparkContext.defaultParallelism
+
+    // column pruning is explicit: url + html only (html is the fat column;
+    // text/lang/warc_ts are never read — verify via .explain ReadSchema)
+    val pages = pagesDf.select(col("url"), col("html"))
+
+    val pending = table.doneUrls(spark) match {
+      case Some(done) => pages.join(done, Seq("url"), "left_anti")
+      case None       => pages
+    }
+
+    val bytesIn: LongAccumulator = spark.sparkContext.longAccumulator("graft.bytesIn")
+    val docsOk = spark.sparkContext.longAccumulator("graft.docsOk")
+    val docsFailed = spark.sparkContext.longAccumulator("graft.docsFailed")
+
+    val salted = pending
+      .withColumn("salt", pmod(xxhash64(col("url")), lit(numSalts)).cast("int"))
+      .repartition(p, col("salt"))
+      .select(col("url"), col("html"))
+      .as[PageSlim]
+
+    val extracted = salted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      val att = Option(TaskContext.get()).map(_.attemptNumber).getOrElse(attempt)
+      it.map { pg =>
+        bytesIn.add(if (pg.html == null) 0 else pg.html.length.toLong)
+        val doc = ExtractKernel.extractOne(pg.url, pg.html, pid, att)
+        if (doc.error.isEmpty) docsOk.add(1) else docsFailed.add(1)
+        doc
+      }
+    }
+
+    // single action: write the data files (error column stays with the data,
+    // so one pass covers both success and quarantine rows), then publish the
+    // manifest with the accumulator-observed metrics and flip the pointer.
+    val (version, snapDir) = table.writeData(extracted.toDF())
+    val metrics = Map[String, Long](
+      "input" -> (docsOk.value + docsFailed.value),
+      "extracted" -> docsOk.value.toLong,
+      "failed" -> docsFailed.value.toLong,
+      "bytes_in" -> bytesIn.value.toLong)
+    table.commitManifest(version, snapDir, metrics,
+      lineage = Seq(Map("attempt" -> attempt.toLong, "partitions" -> p.toLong)))
+    Metrics(version, docsOk.value + docsFailed.value, docsOk.value,
+      docsFailed.value, bytesIn.value)
+  }
+
+  /** Quarantined rows of the current snapshot (K2 semantics). */
+  def quarantine(spark: SparkSession, table: SnapshotTable): DataFrame =
+    table.read(spark).filter(col("error").isNotNull)
+      .select("url", "error", "lineage.partition_id", "lineage.attempt")
+
+  /** A1-style status rollup over the output table (src/queue.py:80-96). */
+  def statusCounts(spark: SparkSession, table: SnapshotTable): DataFrame =
+    table.read(spark)
+      .withColumn("status",
+        when(col("error").isNotNull, "error")
+          .when(col("extracted_text").isNotNull, "done")
+          .otherwise("done_empty"))
+      .groupBy("status").count()
+}
+
+/**
+ * CLI main for spark-submit runs and local e2e:
+ *   ExtractMain <pagesParquetDir> <tableDir> [numPartitions]
+ * Synthesizes nothing — reads an existing pages table (see FixtureMain).
+ */
+object ExtractMain {
+  def main(args: Array[String]): Unit = {
+    val pagesPath = args(0)
+    val tableDir = args(1)
+    val parts = if (args.length > 2) args(2).toInt else 0
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .appName("graft-extract")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val table = new SnapshotTable(tableDir)
+    val m = Extract.run(spark, spark.read.parquet(pagesPath), table, numPartitions = parts)
+    println(s"""{"version":${m.version},"input":${m.input},"extracted":${m.extracted},"failed":${m.failed},"bytes_in":${m.bytesIn}}""")
+    spark.stop()
+  }
+}
+
+/** FixtureMain <outDir> <rows> [seed]: write the deterministic pages corpus. */
+object FixtureMain {
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val rows = args(1).toLong
+    val seed = if (args.length > 2) args(2).toLong else 42L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-fixtures")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    spark.range(rows)
+      .mapPartitions(_.map(i => graft.fixtures.PageGen.page(i, seed)))
+      .write.mode("overwrite").parquet(outDir)
+    println(s"""{"rows":$rows,"dir":"$outDir"}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,135 @@
+package graft.tables
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Iceberg-style snapshot table built from scratch (no Iceberg jar in
+ * /opt/spark/jars — SURVEY.md §4.3): immutable Parquet data files +
+ * versioned JSON manifests + an atomically-renamed VERSION pointer.
+ *
+ * Layout:
+ *   <dir>/data/snap-<v>/part-*.parquet    (data files of snapshot v)
+ *   <dir>/metadata/v<v>.json              (manifest: files, parent, metrics, lineage)
+ *   <dir>/metadata/VERSION                (current version number; atomic rename)
+ *
+ * Commit protocol (write data -> write manifest -> rename pointer)
+ * reproduces the reference's pending->indexing->done row state machine
+ * (/root/reference/src/queue.py:25-78) with snapshot isolation instead of
+ * row mutation: a crash before the pointer rename leaves the previous
+ * snapshot intact and the partial data dir unreferenced.
+ *
+ * Readers see the union of the snapshot chain (each snapshot appends data
+ * files). `doneUrls` powers incremental resume via left-anti join.
+ */
+final class SnapshotTable(dirStr: String) {
+  private val dir: Path = Paths.get(dirStr)
+  private val metaDir = dir.resolve("metadata")
+  private val dataDir = dir.resolve("data")
+  private val mapper = new ObjectMapper
+
+  final case class Manifest(version: Int, parent: Int, dataDirs: Seq[String],
+                            metrics: Map[String, Long],
+                            lineage: Seq[Map[String, Long]])
+
+  def currentVersion: Option[Int] = {
+    val p = metaDir.resolve("VERSION")
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p)).trim.toInt) else None
+  }
+
+  def manifest(v: Int): Option[Manifest] = {
+    val p = metaDir.resolve(s"v$v.json")
+    if (!Files.exists(p)) return None
+    val n = mapper.readTree(Files.readAllBytes(p))
+    val dirs = n.get("dataDirs").elements().asScala.map(_.asText).toSeq
+    val metrics = Option(n.get("metrics")).map { m =>
+      m.properties().asScala.map(e => e.getKey -> e.getValue.asLong).toMap
+    }.getOrElse(Map.empty)
+    val lineage = Option(n.get("lineage")).map { arr =>
+      arr.elements().asScala.map { e =>
+        e.properties().asScala.map(kv => kv.getKey -> kv.getValue.asLong).toMap
+      }.toSeq
+    }.getOrElse(Seq.empty)
+    Some(Manifest(n.get("version").asInt, n.get("parent").asInt, dirs, metrics, lineage))
+  }
+
+  /** All data dirs visible at the current snapshot (chain walk). */
+  def visibleDataDirs: Seq[String] = currentVersion match {
+    case None => Seq.empty
+    case Some(v) =>
+      val out = Seq.newBuilder[String]
+      var cur = v
+      var guard = 0
+      while (cur >= 0 && guard < 1000000) {
+        manifest(cur) match {
+          case Some(m) => out ++= m.dataDirs.filter(d => Files.exists(Paths.get(d))); cur = m.parent
+          case None => cur = -1
+        }
+        guard += 1
+      }
+      out.result()
+  }
+
+  def isEmpty: Boolean = visibleDataDirs.isEmpty
+
+  /** Read the full table at the current snapshot. */
+  def read(spark: SparkSession): DataFrame = {
+    val dirs = visibleDataDirs
+    require(dirs.nonEmpty, s"snapshot table $dir is empty")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Urls already processed (column-pruned scan of the chain). */
+  def doneUrls(spark: SparkSession): Option[DataFrame] = {
+    val dirs = visibleDataDirs
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*).select("url"))
+  }
+
+  /** Write the data files for the next snapshot (the action runs here);
+    * manifest is NOT yet visible. Returns (version, snapDir). */
+  def writeData(df: DataFrame): (Int, String) = {
+    Files.createDirectories(metaDir)
+    Files.createDirectories(dataDir)
+    val v = currentVersion.map(_ + 1).getOrElse(0)
+    val snapDir = dataDir.resolve(s"snap-$v")
+    df.write.mode("overwrite").parquet(snapDir.toString)
+    (v, snapDir.toString)
+  }
+
+  /** Append `df` as a new snapshot. Returns the committed version. */
+  def commit(df: DataFrame, metrics: Map[String, Long],
+             lineage: Seq[Map[String, Long]] = Seq.empty): Int = {
+    val (v, snapDir) = writeData(df)
+    commitManifest(v, snapDir, metrics, lineage)
+  }
+
+  /** Publish a previously written snapshot: manifest + atomic pointer flip. */
+  def commitManifest(v: Int, snapDirStr: String, metrics: Map[String, Long],
+                     lineage: Seq[Map[String, Long]] = Seq.empty): Int = {
+    val snapDir = Paths.get(snapDirStr)
+
+    val root: ObjectNode = mapper.createObjectNode()
+    root.put("version", v)
+    root.put("parent", currentVersion.getOrElse(-1))
+    val dd: ArrayNode = root.putArray("dataDirs")
+    dd.add(snapDir.toString)
+    val mn = root.putObject("metrics")
+    metrics.foreach { case (k, x) => mn.put(k, x) }
+    val ln = root.putArray("lineage")
+    lineage.foreach { row =>
+      val o = ln.addObject()
+      row.foreach { case (k, x) => o.put(k, x) }
+    }
+    Files.write(metaDir.resolve(s"v$v.json"), mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(root))
+    // atomic pointer flip: readers see v only after this rename
+    val tmp = metaDir.resolve(s"VERSION.tmp.$v")
+    Files.write(tmp, v.toString.getBytes)
+    Files.move(tmp, metaDir.resolve("VERSION"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+}
