@@ -41,6 +41,17 @@ object SparkEntry {
     }.toDF().select("url", "doc_type", "n_chars", "quality")
   }
 
+  // O4 quality-count helpers (ASCII approximation shared verbatim with the
+  // DuckDB oracle; the exact Unicode O4 kernel lives in QualityScore and is
+  // golden-tested against CPython).
+  private val PunctTrim = """.,;:!?()[]{}"'-"""
+  private def trimPunct(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(w, PunctTrim)
+  private lazy val wordlistWords: Seq[String] =
+    graft.kernel.QualityScore.defaultWordlist.toSeq.sorted
+  private lazy val wordlistLit: org.apache.spark.sql.Column =
+    array(wordlistWords.map(lit): _*)
+
   // The sanitize keep-set as an RE2/Java-identical character class:
   // 0x20..0x7E, \t \n \r, U+00A0..U+FFFF (astral chars removed — both
   // engines range char classes over code points).
@@ -153,6 +164,82 @@ object SparkEntry {
           lit("""\b(the|and|of|to|in|is|that|for|it|on)\b"""), lit(0))).as("n_stopwords"))
         .orderBy("doc_id")
     }),
+    // ----- O4 quality components as integers (oracle-exact in DuckDB) -----
+    "q_quality_counts" -> ((s, dir) => {
+      val words = regexp_extract_all(lower(col("text")), lit("""\S+"""), lit(0))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          size(filter(transform(filter(words, w => length(w) >= 3),
+            w => trimPunct(w)), w => w.rlike("^[a-z]+$"))).as("n_checkable"),
+          size(filter(transform(filter(words, w => length(w) >= 3),
+            w => trimPunct(w)),
+            w => w.rlike("^[a-z]+$") && array_contains(wordlistLit, w))).as("n_recognized"))
+        .orderBy("doc_id")
+    }),
+    // ----- MinHash near-dup detection (planted dups; LSH band join) -----
+    "q_minhash_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mutated = docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" tiny appended suffix")).as("text"))
+      val corpus = docs.unionByName(mutated)
+      graft.operators.Dedup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.6)
+        .toDF().select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
+    }),
+    // ----- SimHash near-dup detection (hamming-blocked self-join) -----
+    "q_simhash_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mutated = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" x")).as("text"))
+      graft.operators.Dedup.simHashPairs(docs.unionByName(mutated), "doc_id", "text",
+        maxHamming = 3).orderBy("id_a", "id_b")
+    }),
+    // ----- n-gram Jaccard confirm on planted candidate pairs -----
+    "q_ngram_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toMap // documents is small (500 rows) — driver-side pairing is test-scale only
+      val pairs = docs.keys.toSeq.sorted.take(50).map { id =>
+        val other = (id + 1) % docs.size
+        val j = graft.operators.Dedup.exactJaccard(docs(id), docs(other.toLong))
+        (id, other.toLong, math.round(j * 10000).toInt)
+      }
+      s.createDataFrame(pairs).toDF("id_a", "id_b", "jaccard_x10k").orderBy("id_a")
+    }),
+    // ----- ANN: brute-force cosine top-k (codegen'd HOF dot product) -----
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.operators.Similarity.bruteForceTopK(emb, queries, k = 10)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    // ----- ANN: sign-LSH bucketed variant (the 100TB scale path) -----
+    "q_ann_lsh" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.operators.Similarity.lshTopK(emb, queries, k = 10, bits = 6, dim = 64, probes = 3)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    // ----- multimodal: binary decode-stub + batched feature extraction -----
+    "q_media_features" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = s.range(500)
+        .mapPartitions(_.map(i => graft.operators.Multimodal.mediaRow(i)))
+        .toDF("media_id", "bytes")
+      graft.operators.Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("meta.media_type"), col("meta.width"),
+          col("meta.height"), col("meta.valid"), size(col("frame_samples")).as("n_frames"))
+        .orderBy("media_id")
+    }),
     // ----- flagship extraction over deterministic synthesized pages -----
     // (no SQL oracle: HTML tokenizer/PDF parser are not SQL-expressible;
     //  byte-identity is enforced by GoldenCorpusSpec against CPython goldens)
@@ -208,6 +295,13 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_quality_counts" -> {
+      val wl = wordlistWords.mkString("['", "', '", "']")
+      """SELECT doc_id, """ +
+        """len(list_filter(list_transform(list_filter(regexp_extract_all(lower(text), '\S+'), w -> length(w) >= 3), w -> trim(w, '.,;:!?()[]{}"''-')), w -> regexp_full_match(w, '[a-z]+'))) AS n_checkable, """ +
+        s"""len(list_filter(list_transform(list_filter(regexp_extract_all(lower(text), '\\S+'), w -> length(w) >= 3), w -> trim(w, '.,;:!?()[]{}"''-')), w -> regexp_full_match(w, '[a-z]+') AND list_contains($wl, w))) AS n_recognized """ +
+        "FROM documents ORDER BY doc_id"
+    },
     "q_sanitize" ->
       s"SELECT doc_id, regexp_replace(text, '$SanitizeDuck', '', 'g') AS text_clean FROM documents ORDER BY doc_id",
     "q_truncate" ->

@@ -115,10 +115,16 @@ object ExtractKernel {
     }
   }
 
+  /** Quality is a sampled heuristic: scored on the first 20k code points
+    * (wordlist hit-ratio converges long before that; keeps huge docs cheap). */
+  private val QualitySampleCp = 20000
+
   private def done(url: String, docType: String, text: Option[String],
                    main: Option[String], title: Option[String], spans: Seq[Span],
                    pid: Int, attempt: Int, extractor: String): ExtractedDoc = {
-    val q = text.map(QualityScore.computeQuality(_)).getOrElse(0.5)
+    val q = text.map(t =>
+      QualityScore.computeQuality(TextKernel.truncate(t, Some(QualitySampleCp))))
+      .getOrElse(0.5)
     ExtractedDoc(url, docType, text, main, title, spans, q,
       text.map(TextKernel.cpLength(_).toLong).getOrElse(0L), None,
       Lineage(pid, attempt, extractor))

@@ -59,6 +59,56 @@ object OcrArbiter {
       case _ => if (embedded.nonEmpty) embedded else ocrText
     }
   }
+
+  /**
+   * O5: process_pdf_with_ocr control flow (src/processor.py:544-635), as a
+   * pure function over already-extracted page texts and whatever OCR
+   * results a backend produced (None everywhere in this sandbox — the
+   * ImportError fallback path, src/processor.py:555-557):
+   *
+   *  1. generated PDFs (DWG/Office source) skip OCR entirely;
+   *  2. no page-1 OCR result -> embedded text only;
+   *  3. should_use_ocr on page 1 decides; if OCR wins, OCR texts for the
+   *     first `ocrMaxPages` pages + embedded text for the tail, all joined
+   *     "\n\n" with blank parts dropped, NUL-stripped tail, truncated.
+   *
+   * `pageTexts` are raw per-page texts (pre NUL-strip, as PyMuPDF returns
+   * them); assembly semantics match T1 exactly.
+   */
+  def processPdfWithOcr(pageTexts: Seq[String],
+                        pageOcr: Seq[Option[OcrResult]],
+                        originalExtension: String,
+                        ocrMaxPages: Int = 20,
+                        cfg: TextKernel.Config = TextKernel.defaultConfig): Option[String] = {
+    def embeddedOnly: Option[String] = TextKernel.assemblePdfText(pageTexts, cfg)
+
+    if (!needsOcrCheck(originalExtension)) return embeddedOnly
+    val page1Ocr = pageOcr.headOption.flatten
+    if (page1Ocr.isEmpty) return embeddedOnly
+
+    // T2 single-page variant for the comparison (src/processor.py:499-511)
+    val page1Embedded = pageTexts.headOption.flatMap { t =>
+      if (TextKernel.hasContent(t)) Some(TextKernel.stripNul(t)) else None
+    }
+    val (useOcr, _) = shouldUseOcr(page1Embedded, page1Ocr.get)
+    if (!useOcr) return embeddedOnly
+
+    val pageCount = pageTexts.length
+    val ocrPageCount = math.min(pageCount, ocrMaxPages)
+    val ocrTexts = (0 until ocrPageCount).flatMap { i =>
+      if (i == 0) Some(page1Ocr.get.text)
+      else pageOcr.lift(i).flatten.map(_.text).filter(_.nonEmpty)
+    }
+    val embeddedTail =
+      if (pageCount > ocrMaxPages)
+        pageTexts.drop(ocrMaxPages).filter(TextKernel.hasContent)
+          .map(TextKernel.stripNul).mkString("\n\n")
+      else ""
+    val parts = ocrTexts.filter(TextKernel.hasContent) ++
+      (if (TextKernel.hasContent(embeddedTail)) Seq(embeddedTail) else Seq.empty)
+    val finalText = TextKernel.truncate(parts.mkString("\n\n"), cfg.maxTextLength)
+    if (TextKernel.hasContent(finalText)) Some(finalText) else None
+  }
 }
 
 /**
@@ -121,12 +171,47 @@ object QualityScore {
 
   def computeQuality(text: String, wordlist: Set[String] = defaultWordlist): Double = {
     if (wordlist.isEmpty || text == null || text.isEmpty) return 0.5
-    val words = pySplitLower(text)
-    val checkable = words
-      .filter(w => TextKernel.cpLength(w) >= 3)
-      .map(w => stripChars(w, StripChars))
-      .filter(pyIsAlpha)
-    if (checkable.size < 3) 0.5
-    else checkable.count(wordlist.contains).toDouble / checkable.size
+    // Streaming single pass (hot path in the extraction kernel): walk
+    // lowercase tokens without materializing intermediate collections.
+    // Semantics identical to the reference list pipeline (golden-tested):
+    // split on pyIsSpace runs, token length >= 3 BEFORE punctuation strip,
+    // all-alpha check, wordlist hit ratio.
+    var checkable = 0
+    var recognized = 0
+    val lowered = text.toLowerCase
+    val n = lowered.length
+    var i = 0
+    while (i < n) {
+      // find next token [i, j)
+      while (i < n && pyIsSpace(lowered.codePointAt(i))) i += Character.charCount(lowered.codePointAt(i))
+      var j = i
+      var cps = 0
+      while (j < n && !pyIsSpace(lowered.codePointAt(j))) {
+        cps += 1
+        j += Character.charCount(lowered.codePointAt(j))
+      }
+      if (cps >= 3) {
+        // strip punctuation from both ends
+        var s = i
+        var e = j
+        while (s < e && StripChars.contains(lowered.charAt(s))) s += 1
+        while (e > s && StripChars.contains(lowered.charAt(e - 1))) e -= 1
+        if (e > s) {
+          var alpha = true
+          var k = s
+          while (alpha && k < e) {
+            val cp = lowered.codePointAt(k)
+            if (!Character.isLetter(cp)) alpha = false
+            k += Character.charCount(cp)
+          }
+          if (alpha) {
+            checkable += 1
+            if (wordlist.contains(lowered.substring(s, e))) recognized += 1
+          }
+        }
+      }
+      i = j
+    }
+    if (checkable < 3) 0.5 else recognized.toDouble / checkable
   }
 }

@@ -261,21 +261,53 @@ object PdfParser {
   }
 
   // ------------------------------------------------------------- filters
+  // Inflate via DIRECT ByteBuffers: the byte[] Inflater API pins arrays with
+  // JNI critical sections (GCLocker), which under 32 allocation-heavy
+  // threads degenerates into GCLocker-initiated-GC storms that serialize
+  // the whole JVM (measured 9x slowdown). Direct buffers avoid the pin;
+  // buffers are thread-local and reused.
+  private val tlIn = ThreadLocal.withInitial[java.nio.ByteBuffer](
+    () => java.nio.ByteBuffer.allocateDirect(1 << 18))
+  private val tlOut = ThreadLocal.withInitial[java.nio.ByteBuffer](
+    () => java.nio.ByteBuffer.allocateDirect(1 << 18))
+  private val tlTmp = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](1 << 18))
+
   def inflate(data: Array[Byte]): Option[Array[Byte]] = {
     val inf = new Inflater()
     try {
-      inf.setInput(data)
-      val out = new java.io.ByteArrayOutputStream(math.min(data.length * 4 + 64, MaxContentBytes))
-      val chunk = new Array[Byte](65536)
-      var guard = 0
-      while (!inf.finished() && guard < 100000) {
-        val k = inf.inflate(chunk)
-        if (k == 0) {
-          if (inf.needsInput() || inf.needsDictionary()) guard = 100000 // truncated
-          else guard += 1
-        } else out.write(chunk, 0, k)
-        if (out.size() > MaxContentBytes) return None
-        guard += 1
+      val inBuf = tlIn.get()
+      val outBuf = tlOut.get()
+      val tmp = tlTmp.get()
+      val out = new java.io.ByteArrayOutputStream(math.min(data.length * 4 + 64, 1 << 20))
+      var off = 0
+      var stalls = 0
+      while (!inf.finished() && stalls < 64) {
+        if (inf.needsInput()) {
+          if (off >= data.length) stalls = 64 // truncated stream
+          else {
+            inBuf.clear()
+            val n = math.min(inBuf.remaining(), data.length - off)
+            inBuf.put(data, off, n)
+            inBuf.flip()
+            off += n
+            inf.setInput(inBuf)
+          }
+        }
+        if (!inf.finished() && stalls < 64) {
+          outBuf.clear()
+          val k = inf.inflate(outBuf)
+          if (k > 0) {
+            outBuf.flip()
+            while (outBuf.hasRemaining) {
+              val n = math.min(tmp.length, outBuf.remaining())
+              outBuf.get(tmp, 0, n)
+              out.write(tmp, 0, n)
+            }
+            stalls = 0
+          } else if (inf.needsDictionary()) stalls = 64
+          else stalls += 1
+          if (out.size() > MaxContentBytes) return None
+        }
       }
       if (out.size() == 0 && data.nonEmpty) None else Some(out.toByteArray)
     } catch { case _: Throwable => None }

@@ -1,0 +1,253 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Near-duplicate detection for training-data pipelines, Spark-first and
+ * shuffle-conscious:
+ *
+ *  - MinHash signatures are computed per-row inside the scan projection
+ *    (typed map, zero shuffle, O(len * numPerms) per doc with one base hash
+ *    per shingle — the per-executor work the reference would have done
+ *    one-file-at-a-time);
+ *  - LSH banding explodes to (band, bucket) rows and groups — the ONLY
+ *    shuffle; buckets are capped so a degenerate bucket (all-identical
+ *    corpus) cannot OOM a reducer;
+ *  - candidate pairs are verified by signature agreement (an unbiased
+ *    Jaccard estimator), with an optional exact n-gram Jaccard confirm.
+ *
+ * At 100 TB: signatures are ~numPerms*8 bytes/doc (512 B at 64 perms) —
+ * the shuffle moves signatures, never documents.
+ */
+object Dedup {
+
+  // --------------------------------------------------------------- minhash
+  /** Multiply-shift permutations over a 64-bit base hash; constants from
+    * splitmix64(seed) so signatures are stable across runs/executors. */
+  private def permConstants(numPerms: Int, seed: Long): (Array[Long], Array[Long]) = {
+    var x = seed
+    def next(): Long = {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val a = Array.fill(numPerms)(next() | 1L) // odd multipliers
+    val b = Array.fill(numPerms)(next())
+    (a, b)
+  }
+
+  /** 64-bit FNV-1a over the UTF-16 units of a shingle window — cheap,
+    * allocation-free base hash (one per shingle, reused by all perms). */
+  @inline private def shingleHash(s: String, start: Int, len: Int): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = start
+    val end = start + len
+    while (i < end) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001B3L
+      i += 1
+    }
+    h
+  }
+
+  /** Normalize for shingling: lowercase, collapse whitespace runs. */
+  def normalize(text: String): String = {
+    val sb = new java.lang.StringBuilder(text.length)
+    var pend = false
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (Character.isWhitespace(c)) pend = sb.length > 0
+      else {
+        if (pend) sb.append(' ')
+        pend = false
+        sb.append(Character.toLowerCase(c))
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** MinHash signature of one document (character shingles). */
+  def signature(text: String, numPerms: Int = 64, shingle: Int = 5,
+                seed: Long = 42L): Array[Long] = {
+    val (a, b) = permCache.getOrElseUpdate((numPerms, seed), permConstants(numPerms, seed))
+    val norm = normalize(text)
+    val sig = Array.fill(numPerms)(Long.MaxValue)
+    if (norm.length < shingle) {
+      val h = shingleHash(norm, 0, norm.length)
+      var p = 0
+      while (p < numPerms) { sig(p) = a(p) * h + b(p); p += 1 }
+      return sig
+    }
+    var i = 0
+    val last = norm.length - shingle
+    while (i <= last) {
+      val h = shingleHash(norm, i, shingle)
+      var p = 0
+      while (p < numPerms) {
+        val v = a(p) * h + b(p)
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    sig
+  }
+  private val permCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, Long), (Array[Long], Array[Long])]
+
+  /** Estimated Jaccard = fraction of agreeing signature positions. */
+  def estimateJaccard(s1: Array[Long], s2: Array[Long]): Double = {
+    var eq = 0
+    var i = 0
+    val n = math.min(s1.length, s2.length)
+    while (i < n) { if (s1(i) == s2(i)) eq += 1; i += 1 }
+    if (n == 0) 0.0 else eq.toDouble / n
+  }
+
+  /** Exact n-gram Jaccard (for candidate confirmation / tests). */
+  def exactJaccard(a: String, b: String, shingle: Int = 5): Double = {
+    def shingles(t: String): Set[Long] = {
+      val n = normalize(t)
+      if (n.length < shingle) Set(shingleHash(n, 0, n.length))
+      else (0 to n.length - shingle).map(i => shingleHash(n, i, shingle)).toSet
+    }
+    val sa = shingles(a); val sb = shingles(b)
+    val inter = sa.intersect(sb).size
+    val union = sa.size + sb.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  // --------------------------------------------------------------- dataset ops
+  final case class Sig(id: Long, sig: Array[Long])
+  final case class BandRow(id: Long, band: Int, bucket: Long, sig: Array[Long])
+  final case class Pair(id_a: Long, id_b: Long, est_jaccard: Double)
+
+  /** (id, text) -> signatures. Pure projection, no shuffle. */
+  def signatures(df: DataFrame, idCol: String, textCol: String,
+                 numPerms: Int = 64, shingle: Int = 5, seed: Long = 42L)
+                (implicit spark: SparkSession): Dataset[Sig] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        Sig(id, signature(if (text == null) "" else text, numPerms, shingle, seed))
+      })
+  }
+
+  /** LSH band rows: numPerms = bands * rowsPerBand. */
+  def bandRows(sigs: Dataset[Sig], bands: Int, rowsPerBand: Int)
+              (implicit spark: SparkSession): Dataset[BandRow] = {
+    import spark.implicits._
+    sigs.flatMap { s =>
+      (0 until bands).iterator.map { b =>
+        var h = 0xCBF29CE484222325L ^ b.toLong
+        var r = 0
+        while (r < rowsPerBand) {
+          h ^= s.sig(b * rowsPerBand + r)
+          h *= 0x100000001B3L
+          r += 1
+        }
+        BandRow(s.id, b, h, s.sig)
+      }
+    }
+  }
+
+  /** Near-dup candidate pairs above `threshold` estimated Jaccard.
+    * One shuffle (groupBy band+bucket); per-bucket pair generation is capped
+    * at `maxBucket` ids (drop-with-log semantics: a bucket that large means
+    * an exact-dup cluster better handled by exact dedup first). */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   numPerms: Int = 64, bands: Int = 16, threshold: Double = 0.7,
+                   shingle: Int = 5, seed: Long = 42L, maxBucket: Int = 64)
+                  (implicit spark: SparkSession): Dataset[Pair] = {
+    import spark.implicits._
+    val rowsPerBand = numPerms / bands
+    val sigs = signatures(df, idCol, textCol, numPerms, shingle, seed)
+    val bandsDs = bandRows(sigs, bands, rowsPerBand)
+    bandsDs
+      .groupByKey(r => (r.band, r.bucket))
+      .flatMapGroups { (_: (Int, Long), it: Iterator[BandRow]) =>
+        val members = it.take(maxBucket).toArray
+        if (members.length < 2) Iterator.empty
+        else {
+          val out = Seq.newBuilder[Pair]
+          var i = 0
+          while (i < members.length) {
+            var j = i + 1
+            while (j < members.length) {
+              val (x, y) =
+                if (members(i).id < members(j).id) (members(i), members(j))
+                else (members(j), members(i))
+              val est = estimateJaccard(x.sig, y.sig)
+              if (est >= threshold && x.id != y.id) out += Pair(x.id, y.id, est)
+              j += 1
+            }
+            i += 1
+          }
+          out.result().iterator
+        }
+      }
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  // --------------------------------------------------------------- simhash
+  /** 64-bit SimHash over whitespace tokens (FNV token hash, unit weights). */
+  def simHash64(text: String): Long = {
+    if (text == null || text.isEmpty) return 0L
+    val votes = new Array[Int](64)
+    val norm = normalize(text)
+    var start = 0
+    var i = 0
+    def vote(s: Int, e: Int): Unit = {
+      if (e > s) {
+        val h = shingleHash(norm, s, e - s)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+    }
+    while (i < norm.length) {
+      if (norm.charAt(i) == ' ') { vote(start, i); start = i + 1 }
+      i += 1
+    }
+    vote(start, norm.length)
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** SimHash near-dup pairs: block on 4×16-bit chunks (any pair within
+    * hamming distance <= maxHamming shares at least one chunk when
+    * maxHamming <= 3), verify with full hamming. One shuffle. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val hashes = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, simHash64(if (t == null) "" else t)) })
+      .toDF("id", "simhash")
+    val chunked = hashes.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("blk"))
+      .select(col("id"), col("simhash"), col("blk.chunk"), col("blk.key"))
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming").dropDuplicates("id_a", "id_b")
+  }
+}

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends AnyFunSuite {
+
+  private implicit lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("operators")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def baseText(i: Int): String = {
+    val r = new scala.util.Random(1000 + i)
+    (0 until 80).map(_ => s"word${r.nextInt(500)}").mkString(" ")
+  }
+  private def mutate(t: String, edits: Int, seed: Int): String = {
+    val words = t.split(" ")
+    val r = new scala.util.Random(seed)
+    (0 until edits).foreach(_ => words(r.nextInt(words.length)) = s"changed${r.nextInt(100)}")
+    words.mkString(" ")
+  }
+
+  // ------------------------------------------------------------- minhash
+  test("minhash: identical texts agree fully; mutations degrade smoothly") {
+    val t = baseText(1)
+    val s1 = Dedup.signature(t)
+    val s2 = Dedup.signature(t)
+    assert(s1.sameElements(s2))
+    assert(Dedup.estimateJaccard(s1, s2) === 1.0)
+    val light = Dedup.estimateJaccard(s1, Dedup.signature(mutate(t, 4, 9)))
+    val heavy = Dedup.estimateJaccard(s1, Dedup.signature(mutate(t, 40, 9)))
+    assert(light > heavy)
+    assert(light > 0.5 && heavy < 0.5)
+  }
+
+  test("minhash estimate tracks exact jaccard within 0.15") {
+    val t = baseText(2)
+    (1 to 5).foreach { e =>
+      val m = mutate(t, e * 8, e)
+      val est = Dedup.estimateJaccard(Dedup.signature(t, 128), Dedup.signature(m, 128))
+      val exact = Dedup.exactJaccard(t, m)
+      assert(math.abs(est - exact) < 0.15, s"edits=${e * 8}: est=$est exact=$exact")
+    }
+  }
+
+  test("LSH near-dup pairs: planted duplicates found, unrelated docs not paired") {
+    import spark.implicits._
+    // 60 distinct docs + 10 planted near-dups (ids 1000+i duplicates i)
+    val originals = (0 until 60).map(i => (i.toLong, baseText(i)))
+    val planted = (0 until 10).map(i => (1000L + i, mutate(baseText(i), 3, i)))
+    val df = (originals ++ planted).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(df, "doc_id", "text", threshold = 0.6).collect()
+    val found = pairs.map(p => (p.id_a, p.id_b)).toSet
+    val expected = (0 until 10).map(i => (i.toLong, 1000L + i)).toSet
+    val hits = expected.count(found.contains)
+    assert(hits >= 9, s"found only $hits/10 planted pairs: $found")
+    // no unrelated pair (different base text => exact jaccard near 0)
+    val textById = (originals ++ planted).toMap
+    found.foreach { case (a, b) =>
+      val exact = Dedup.exactJaccard(textById(a), textById(b))
+      assert(exact > 0.4, s"false positive pair ($a,$b) exact=$exact")
+    }
+  }
+
+  // ------------------------------------------------------------- simhash
+  test("simhash: identity, locality, and pair detection") {
+    val t = baseText(3)
+    assert(Dedup.simHash64(t) === Dedup.simHash64(t))
+    assert(Dedup.hamming64(Dedup.simHash64(t), Dedup.simHash64(t)) === 0)
+    val near = Dedup.hamming64(Dedup.simHash64(t), Dedup.simHash64(mutate(t, 2, 4)))
+    val far = Dedup.hamming64(Dedup.simHash64(t), Dedup.simHash64(baseText(99)))
+    assert(near < far)
+    import spark.implicits._
+    val df = Seq((1L, t), (2L, mutate(t, 1, 5)), (3L, baseText(50))).toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(df, "doc_id", "text", maxHamming = 6).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  // ------------------------------------------------------------- similarity
+  private def vec(i: Int, dim: Int): Array[Float] = {
+    val r = new scala.util.Random(i)
+    Array.fill(dim)(r.nextFloat() - 0.5f)
+  }
+  private def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+    d / (math.sqrt(na) * math.sqrt(nb) + 1e-12)
+  }
+
+  test("brute-force cosine top-k matches local computation exactly") {
+    import spark.implicits._
+    val dim = 16
+    val corpus = (0 until 200).map(i => (i.toLong, vec(i, dim))).toDF("vec_id", "embedding")
+    val queries = Seq((0L, vec(0, dim)), (7L, vec(7, dim))).toDF("query_id", "embedding")
+    val got = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // local oracle
+    val vecs = (0 until 200).map(i => i.toLong -> vec(i, dim)).toMap
+    val expected = Seq(0L, 7L).flatMap { q =>
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cosineLocal(vecs(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, _), rank) => (q, id, rank + 1) }
+    }.toSet
+    assert(got === expected)
+  }
+
+  test("LSH ANN: reasonable recall on clustered vectors, far less work") {
+    import spark.implicits._
+    val dim = 16
+    // clustered corpus: 20 clusters x 20 members
+    def member(c: Int, m: Int): Array[Float] = {
+      val base = vec(c * 7777, dim)
+      val r = new scala.util.Random(c * 100 + m)
+      base.map(x => x + (r.nextFloat() - 0.5f) * 0.1f)
+    }
+    val corpus = (for (c <- 0 until 20; m <- 0 until 20)
+      yield ((c * 20 + m).toLong, member(c, m))).toDF("vec_id", "embedding")
+    val queries = (0 until 5).map(c => (c.toLong * 20, member(c, 0))).toDF("query_id", "embedding")
+    val brute = Similarity.bruteForceTopK(corpus, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshTopK(corpus, queries, 10, bits = 6, dim = dim, probes = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(ann.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"ANN recall too low: $recall")
+  }
+
+  // ------------------------------------------------------------- multimodal
+  test("media stub: header round-trip, corrupt detection, batch features") {
+    import spark.implicits._
+    val enc = Multimodal.encodeStub(2, 640, 480, 3, 5000L, Array.fill(100)(7.toByte))
+    val meta = Multimodal.decodeStub(enc)
+    assert(meta === Multimodal.MediaMeta("video", 640, 480, 3, 5000L, 100L, valid = true))
+    assert(!Multimodal.decodeStub(Array[Byte](1, 2, 3)).valid)
+    assert(!Multimodal.decodeStub(null).valid)
+
+    val rows = (0 until 200).map(i => Multimodal.mediaRow(i.toLong))
+    val df = rows.toDF("media_id", "bytes")
+    val feats = Multimodal.extractFeatures(df).collect()
+    assert(feats.length === 200)
+    val byValid = feats.groupBy(_.getStruct(1).getBoolean(6))
+    assert(byValid(true).length > 100)  // ~3/4 valid
+    assert(byValid(false).length > 20)  // ~1/4 corrupt, handled not thrown
+    // video rows sample frames
+    val videos = feats.filter(_.getStruct(1).getString(0) == "video")
+    assert(videos.nonEmpty && videos.forall(_.getSeq[Long](4).nonEmpty))
+  }
+}

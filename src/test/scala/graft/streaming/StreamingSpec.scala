@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+import graft.fixtures.PageGen
+
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("streaming-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("streaming extraction drains a pages directory batch (AvailableNow)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream-pages").toString
+    spark.range(300).mapPartitions(_.map(i => PageGen.page(i, 42L)))
+      .write.mode("overwrite").parquet(dir)
+
+    val q = StreamingExtract.streamingExtract(spark, dir)
+      .writeStream.format("memory").queryName("extracted")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val rows = spark.sql("SELECT count(*) FROM extracted").head().getLong(0)
+    assert(rows === 300)
+    val types = spark.sql("SELECT DISTINCT doc_type FROM extracted").collect().map(_.getString(0)).toSet
+    assert(types.contains("html") && types.contains("pdf"))
+  }
+
+  test("watermarked event rollup over a bounded stream") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream-events").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+
+    val q = StreamingExtract.eventRollup(stream)
+      .writeStream.format("memory").queryName("rollup")
+      .outputMode("complete") // bounded test stream; append would hold back the open window
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val batchTotal = spark.read.parquet(dir).count()
+    val streamTotal = spark.sql("SELECT sum(n) FROM rollup").head().getLong(0)
+    assert(streamTotal === batchTotal)
+  }
+
+  test("firstSeenUrls emits each url exactly once across a duplicated batch") {
+    import spark.implicits._
+    val base = (0 until 100).map(i => (s"https://h/$i", i.toLong))
+    val dup = base ++ base.map { case (u, t) => (u, t + 10) }
+    val out = StreamingExtract.firstSeenUrls(spark, dup.toDS()).collect()
+    assert(out.length === 100)
+    assert(out.map(_.url).distinct.length === 100)
+    out.foreach(s => assert(s.first_ts < 100))
+  }
+}
