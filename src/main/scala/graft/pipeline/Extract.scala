@@ -54,6 +54,10 @@ object Extract {
     val bytesIn: LongAccumulator = spark.sparkContext.longAccumulator("graft.bytesIn")
     val docsOk = spark.sparkContext.longAccumulator("graft.docsOk")
     val docsFailed = spark.sparkContext.longAccumulator("graft.docsFailed")
+    // per-partition lineage (K5 analog of the reference's per-job processor
+    // log): (partition, docs, ms) — the partition-time histogram is the
+    // evidence that salting defused host skew (§4.3)
+    val partStats = spark.sparkContext.collectionAccumulator[(Int, Long, Long)]("graft.partStats")
 
     val salted = pending
       .withColumn("salt", pmod(xxhash64(col("url")), lit(numSalts)).cast("int"))
@@ -64,11 +68,26 @@ object Extract {
     val extracted = salted.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       val att = Option(TaskContext.get()).map(_.attemptNumber).getOrElse(attempt)
-      it.map { pg =>
+      val t0 = System.nanoTime()
+      var nDocs = 0L
+      val mapped = it.map { pg =>
         bytesIn.add(if (pg.html == null) 0 else pg.html.length.toLong)
         val doc = ExtractKernel.extractOne(pg.url, pg.html, pid, att)
         if (doc.error.isEmpty) docsOk.add(1) else docsFailed.add(1)
+        nDocs += 1
         doc
+      }
+      new Iterator[ExtractKernel.ExtractedDoc] {
+        private var recorded = false
+        override def hasNext: Boolean = {
+          val h = mapped.hasNext
+          if (!h && !recorded) {
+            recorded = true
+            partStats.add((pid, nDocs, (System.nanoTime() - t0) / 1000000L))
+          }
+          h
+        }
+        override def next(): ExtractKernel.ExtractedDoc = mapped.next()
       }
     }
 
@@ -81,8 +100,12 @@ object Extract {
       "extracted" -> docsOk.value.toLong,
       "failed" -> docsFailed.value.toLong,
       "bytes_in" -> bytesIn.value.toLong)
-    table.commitManifest(version, snapDir, metrics,
-      lineage = Seq(Map("attempt" -> attempt.toLong, "partitions" -> p.toLong)))
+    import scala.jdk.CollectionConverters._
+    val lineageRows = partStats.value.asScala.toSeq.sortBy(_._1).map {
+      case (pid, docs, ms) =>
+        Map[String, Long]("partition" -> pid.toLong, "docs" -> docs, "ms" -> ms)
+    }
+    table.commitManifest(version, snapDir, metrics, lineage = lineageRows)
     Metrics(version, docsOk.value + docsFailed.value, docsOk.value,
       docsFailed.value, bytesIn.value)
   }

@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Physical-plan assertions: the plans we ship are the plans we designed
+  * (column pruning to (url, html), filter pushdown to parquet, broadcast
+  * only where intended, whole-stage codegen on the SQL surface, exactly
+  * one exchange in the flagship pipeline). */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("plan-shape")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("extraction scan prunes to (url, html) — the fat column plus key only") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("plan-pages").toString
+    spark.range(100).mapPartitions(_.map(i => graft.fixtures.PageGen.page(i, 42L)))
+      .write.mode("overwrite").parquet(dir)
+    val pipeline = spark.read.parquet(dir)
+      .select(col("url"), col("html"))
+      .withColumn("salt", pmod(xxhash64(col("url")), lit(16)).cast("int"))
+      .repartition(4, col("salt"))
+      .select(col("url"), col("html"))
+    val plan = planOf(pipeline)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("url") && readSchema.contains("html"))
+    assert(!readSchema.contains("warc_ts") && !readSchema.contains("lang"),
+      s"unpruned columns leak into the scan: $readSchema")
+  }
+
+  test("flagship pipeline has exactly one exchange (the salted repartition)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("plan-pages2").toString
+    spark.range(100).mapPartitions(_.map(i => graft.fixtures.PageGen.page(i, 42L)))
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .select(col("url"), col("html"))
+      .withColumn("salt", pmod(xxhash64(col("url")), lit(16)).cast("int"))
+      .repartition(4, col("salt"))
+      .select(col("url"), col("html"))
+      .as[graft.pipeline.Extract.PageSlim]
+      .mapPartitions(_.map(p => graft.kernel.ExtractKernel.extractOne(p.url, p.html, 0, 0)))
+      .toDF()
+    val exchanges = planOf(df).linesIterator.count(_.contains("Exchange"))
+    assert(exchanges === 1, s"expected exactly 1 exchange, plan:\n${planOf(df)}")
+  }
+
+  test("filter pushdown reaches the parquet scan (PushedFilters)") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") > 40)
+      .select("l_orderkey", "l_quantity")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(l_quantity"),
+      s"filter not pushed:\n$plan")
+  }
+
+  test("q_top_customers broadcasts the dimension side") {
+    val plan = planOf(SparkEntry.queries("q_top_customers")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("resume anti-join on unbounded done-set does NOT force broadcast in the pipeline") {
+    // Extract.run leaves strategy choice to Catalyst/AQE; assert the plan is
+    // an anti join of either flavor and the query compiles + runs
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val done = docs.filter(col("doc_id") % 2 === 0).select("doc_id")
+    val anti = docs.join(done, Seq("doc_id"), "left_anti")
+    val plan = planOf(anti)
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
+  test("native text expressions stay inside whole-stage codegen") {
+    import graft.functions.TextFunctions
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(TextFunctions.sanitize_text(col("text")).as("t"),
+        TextFunctions.printable_ratio(col("text")).as("r"))
+    val plan = planOf(df)
+    // "*(n)" prefixes mark whole-stage-codegen subtrees in executedPlan
+    val projectLine = plan.linesIterator.find(_.contains("sanitize_text")).getOrElse("")
+    assert(projectLine.trim.startsWith("*("),
+      s"text expressions outside codegen:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("aggregates use partial (map-side) aggregation") {
+    val plan = planOf(SparkEntry.queries("q_lang_stats")(spark, sf))
+    // two HashAggregate nodes: partial + final
+    val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"no partial aggregation:\n$plan")
+  }
+}
