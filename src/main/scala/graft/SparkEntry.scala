@@ -164,6 +164,33 @@ object SparkEntry {
           lit("""\b(the|and|of|to|in|is|that|for|it|on)\b"""), lit(0))).as("n_stopwords"))
         .orderBy("doc_id")
     }),
+    // ----- dedup keepers: canonical row per content cluster -----
+    "q_dedup_keepers" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"))
+        .select("keep_id").orderBy("keep_id")
+    }),
+    // ----- window function: top-5 longest docs per language -----
+    "q_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      tbl(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"))
+        .orderBy("lang", "rn")
+    }),
+    // ----- rollup (grouping sets) over events -----
+    "q_events_rollup_sets" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .rollup(col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          col("n"), col("n_users"))
+        .orderBy("event_type")
+    }),
     // ----- O4 quality components as integers (oracle-exact in DuckDB) -----
     "q_quality_counts" -> ((s, dir) => {
       val words = regexp_extract_all(lower(col("text")), lit("""\S+"""), lit(0))
@@ -295,6 +322,12 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_keepers" ->
+      "SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text) ORDER BY keep_id",
+    "q_window_rank" ->
+      "SELECT lang, rn, doc_id, n_chars FROM (SELECT lang, doc_id, n_chars, row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn FROM documents) WHERE rn <= 5 ORDER BY lang, rn",
+    "q_events_rollup_sets" ->
+      "SELECT coalesce(event_type, 'ALL') AS event_type, count(*) AS n, count(DISTINCT user_id) AS n_users FROM events GROUP BY ROLLUP(event_type) ORDER BY event_type",
     "q_quality_counts" -> {
       val wl = wordlistWords.mkString("['", "', '", "']")
       """SELECT doc_id, """ +
