@@ -214,6 +214,19 @@ object SparkEntry {
       graft.operators.Dedup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.6)
         .toDF().select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
     }),
+    // ----- full near-dup collapse: LSH pairs -> connected components -> keepers -----
+    "q_dedup_collapse" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mutated = docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" tiny appended suffix")).as("text"))
+      val corpus = docs.unionByName(mutated)
+      val pairs = graft.operators.Dedup
+        .nearDupPairs(corpus, "doc_id", "text", threshold = 0.6).toDF()
+      graft.operators.Dedup.collapseNearDups(corpus, pairs, "doc_id")
+        .select("doc_id").orderBy("doc_id")
+    }),
     // ----- SimHash near-dup detection (hamming-blocked self-join) -----
     "q_simhash_pairs" -> ((s, dir) => {
       implicit val sp: SparkSession = s

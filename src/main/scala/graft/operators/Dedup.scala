@@ -195,6 +195,56 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  // ----------------------------------------------------- cluster collapse
+  /**
+   * Connected components over near-dup pairs by iterative min-label
+   * propagation (the standard large-graph approach when components are
+   * shallow, as dup clusters are): each node adopts the minimum id among
+   * itself and its neighbors until fixpoint. Converges in O(component
+   * diameter) rounds; `maxIters` bounds pathological chains. Each round is
+   * one shuffle over the EDGE set (small — pairs, not documents).
+   *
+   * Returns (id, cluster_id) where cluster_id = min id of the component.
+   */
+  def clusters(pairs: DataFrame, maxIters: Int = 10)
+              (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    // undirected edges, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+    var changedCount = 1L
+    var iter = 0
+    while (changedCount > 0 && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val updated = labels.join(neighborMin, labels("id") === neighborMin("id2"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("new_cluster"),
+          col("cluster_id"))
+      changedCount = updated.filter(col("new_cluster") =!= col("cluster_id")).count()
+      labels = updated.select(col("id"), col("new_cluster").as("cluster_id"))
+        .localCheckpoint() // truncate the iterative lineage
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Keep one canonical doc per near-dup cluster: members of a cluster
+    * other than the min-id are dropped; singletons pass through. */
+  def collapseNearDups(df: DataFrame, pairs: DataFrame, idCol: String)
+                      (implicit spark: SparkSession): DataFrame = {
+    val toDrop = clusters(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(toDrop, Seq(idCol), "left_anti")
+  }
+
   // --------------------------------------------------------------- simhash
   /** 64-bit SimHash over whitespace tokens (FNV token hash, unit weights). */
   def simHash64(text: String): Long = {

@@ -66,6 +66,22 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster collapse: connected components + keeper semantics") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11}, singleton 20 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val cl = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cl(_) == 1L))
+    assert(cl(10L) === 10L && cl(11L) === 10L)
+
+    val corpus = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
+    val kept = Dedup.collapseNearDups(corpus, pairs, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 10L, 20L))
+  }
+
   // ------------------------------------------------------------- simhash
   test("simhash: identity, locality, and pair detection") {
     val t = baseText(3)
