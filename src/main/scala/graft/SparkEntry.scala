@@ -57,6 +57,13 @@ object SparkEntry {
   // engines range char classes over code points).
   private val SanitizeDuck = """[^ -~\n\r\t\x{00A0}-\x{FFFF}]"""
 
+  // Whitespace spelled as an explicit class: Java's \s includes \x0B
+  // (vertical tab) while RE2's does not, so \s/\S would silently diverge
+  // between Spark and the DuckDB oracle for text containing \x0B. The
+  // explicit class below is Java-\s-identical and parses the same in RE2.
+  private val Ws = """[ \t\n\x0B\f\r]"""
+  private val NonWs = """[^ \t\n\x0B\f\r]"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- T6 sanitize as a native codegen'd Catalyst expression -----
     "q_sanitize" -> ((s, dir) => {
@@ -70,18 +77,18 @@ object SparkEntry {
         .select(col("doc_id"), substring(col("text"), 1, 100).as("text_head"))
         .orderBy("doc_id")
     }),
-    // ----- token counting (whitespace tokens, ASCII \S identical in RE2/Java) -----
+    // ----- token counting (whitespace tokens, explicit RE2/Java-identical class) -----
     "q_token_count" -> ((s, dir) => {
       tbl(s, dir, "documents")
         .select(col("doc_id"),
-          size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0))).as("n_tokens"))
+          size(regexp_extract_all(col("text"), lit(NonWs + "+"), lit(0))).as("n_tokens"))
         .orderBy("doc_id")
     }),
     // ----- document fingerprint: md5 over whitespace-collapsed lowercase -----
     "q_fingerprint" -> ((s, dir) => {
       tbl(s, dir, "documents")
         .select(col("doc_id"),
-          md5(regexp_replace(lower(col("text")), """\s+""", " ")).as("fp"))
+          md5(regexp_replace(lower(col("text")), Ws + "+", " ")).as("fp"))
         .orderBy("doc_id")
     }),
     // ----- exact dedup: clusters by content fingerprint -----
@@ -158,7 +165,7 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents")
       docs.select(col("doc_id"),
         length(col("text")).as("n_cp"),
-        size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0))).as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit(NonWs + "+"), lit(0))).as("n_tokens"),
         length(regexp_replace(col("text"), "[^ -~]", "")).as("n_ascii_printable"),
         size(regexp_extract_all(lower(col("text")),
           lit("""\b(the|and|of|to|in|is|that|for|it|on)\b"""), lit(0))).as("n_stopwords"))
@@ -193,7 +200,7 @@ object SparkEntry {
     }),
     // ----- O4 quality components as integers (oracle-exact in DuckDB) -----
     "q_quality_counts" -> ((s, dir) => {
-      val words = regexp_extract_all(lower(col("text")), lit("""\S+"""), lit(0))
+      val words = regexp_extract_all(lower(col("text")), lit(NonWs + "+"), lit(0))
       tbl(s, dir, "documents")
         .select(col("doc_id"),
           size(filter(transform(filter(words, w => length(w) >= 3),
@@ -343,9 +350,9 @@ object SparkEntry {
       "SELECT coalesce(event_type, 'ALL') AS event_type, count(*) AS n, count(DISTINCT user_id) AS n_users FROM events GROUP BY ROLLUP(event_type) ORDER BY event_type",
     "q_quality_counts" -> {
       val wl = wordlistWords.mkString("['", "', '", "']")
-      """SELECT doc_id, """ +
-        """len(list_filter(list_transform(list_filter(regexp_extract_all(lower(text), '\S+'), w -> length(w) >= 3), w -> trim(w, '.,;:!?()[]{}"''-')), w -> regexp_full_match(w, '[a-z]+'))) AS n_checkable, """ +
-        s"""len(list_filter(list_transform(list_filter(regexp_extract_all(lower(text), '\\S+'), w -> length(w) >= 3), w -> trim(w, '.,;:!?()[]{}"''-')), w -> regexp_full_match(w, '[a-z]+') AND list_contains($wl, w))) AS n_recognized """ +
+      s"""SELECT doc_id, """ +
+        s"""len(list_filter(list_transform(list_filter(regexp_extract_all(lower(text), '$NonWs+'), w -> length(w) >= 3), w -> trim(w, '.,;:!?()[]{}"''-')), w -> regexp_full_match(w, '[a-z]+'))) AS n_checkable, """ +
+        s"""len(list_filter(list_transform(list_filter(regexp_extract_all(lower(text), '$NonWs+'), w -> length(w) >= 3), w -> trim(w, '.,;:!?()[]{}"''-')), w -> regexp_full_match(w, '[a-z]+') AND list_contains($wl, w))) AS n_recognized """ +
         "FROM documents ORDER BY doc_id"
     },
     "q_sanitize" ->
@@ -353,15 +360,17 @@ object SparkEntry {
     "q_truncate" ->
       "SELECT doc_id, left(text, 100) AS text_head FROM documents ORDER BY doc_id",
     "q_token_count" ->
-      """SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents ORDER BY doc_id""",
+      s"""SELECT doc_id, len(regexp_extract_all(text, '$NonWs+')) AS n_tokens FROM documents ORDER BY doc_id""",
     "q_fingerprint" ->
-      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM documents ORDER BY doc_id""",
+      s"""SELECT doc_id, md5(regexp_replace(lower(text), '$Ws+', ' ', 'g')) AS fp FROM documents ORDER BY doc_id""",
     "q_dedup_exact" ->
       "SELECT md5(text) AS fp, count(*) AS cnt, min(doc_id) AS first_doc FROM documents GROUP BY 1 ORDER BY fp",
     "q_dedup_count" ->
       "SELECT count(DISTINCT md5(text)) AS n_unique, count(*) AS n_total FROM documents",
+    // DuckDB sum(BIGINT) returns HUGEINT which lands in pandas as float64 and
+    // can never hash-match Spark's int64 — cast every SUM back to BIGINT.
     "q_lang_stats" ->
-      "SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars, min(n_chars) AS min_chars, max(n_chars) AS max_chars FROM documents GROUP BY lang ORDER BY lang",
+      "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, min(n_chars) AS min_chars, max(n_chars) AS max_chars FROM documents GROUP BY lang ORDER BY lang",
     "q_events_rollup" ->
       "SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users, min(value) AS vmin, max(value) AS vmax FROM events GROUP BY event_type ORDER BY event_type",
     "q_events_hourly" ->
@@ -371,11 +380,11 @@ object SparkEntry {
     "q_salt_distribution" ->
       "SELECT (doc_id * 2654435761) % 4294967296 % 64 AS salt, count(*) AS n FROM documents GROUP BY 1 ORDER BY salt",
     "q_tpch_q1" ->
-      "SELECT l_returnflag, l_linestatus, count(*) AS n, sum(CAST(l_quantity AS BIGINT)) AS sum_qty, sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents FROM lineitem WHERE l_shipdate <= '1998-09-02' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+      "SELECT l_returnflag, l_linestatus, count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents FROM lineitem WHERE l_shipdate <= '1998-09-02' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q_top_customers" ->
-      "SELECT c_custkey, c_mktsegment, count(*) AS n_orders, sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS sum_cents FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_custkey, c_mktsegment ORDER BY n_orders DESC, c_custkey LIMIT 100",
+      "SELECT c_custkey, c_mktsegment, count(*) AS n_orders, CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_custkey, c_mktsegment ORDER BY n_orders DESC, c_custkey LIMIT 100",
     "q_text_stats" ->
-      """SELECT doc_id, length(text) AS n_cp, len(regexp_extract_all(text, '\S+')) AS n_tokens, length(regexp_replace(text, '[^ -~]', '', 'g')) AS n_ascii_printable, len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|it|on)\b')) AS n_stopwords FROM documents ORDER BY doc_id""",
+      s"""SELECT doc_id, length(text) AS n_cp, len(regexp_extract_all(text, '$NonWs+')) AS n_tokens, length(regexp_replace(text, '[^ -~]', '', 'g')) AS n_ascii_printable, len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|for|it|on)\\b')) AS n_stopwords FROM documents ORDER BY doc_id""",
     "q_lang_id" ->
       """SELECT doc_id, len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|with|was)\b')) AS s_en, len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b')) AS s_de, len(regexp_extract_all(lower(text), '\b(el|la|los|las|de|que|es|en|un|una)\b')) AS s_es, CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en' WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS lang_guess FROM documents ORDER BY doc_id"""
   )
