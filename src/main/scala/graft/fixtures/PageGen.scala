@@ -86,7 +86,8 @@ object PageGen {
           "<!-- comment <p>also never</p> -->",
           "<p>unclosed paragraph with plenty of words to keep in the output body",
           "<table><tr><td>cell one content words here</td><td>cell two more words</td></tr></table>",
-          s"<pre>  raw${'\t'}spacing${'\n'}preserved</pre>")
+          s"<pre>  raw${'\t'}spacing${'\n'}preserved</pre>",
+          "<p>carriage\r\nreturn\rline endings inside markup</p>")
         pieces.take(1 + r.nextInt(pieces.length)).mkString("\n")
       }
     s"""<!DOCTYPE html>
@@ -170,8 +171,11 @@ object PageGen {
       } else if (kind < 750) {
         (pdfPayload(r), "pdf")
       } else if (kind < 850) {
-        val t = (0 until 3 + r.nextInt(8)).map(_ => paragraph(r)).mkString("\n\n")
-        (t.getBytes(StandardCharsets.UTF_8), "text")
+        val paras = (0 until 3 + r.nextInt(8)).map(_ => paragraph(r))
+        // a third of plain-text payloads use CRLF line endings (text-mode
+        // universal-newline translation must be exercised, not just present)
+        val sep = if (r.nextInt(3) == 0) "\r\n\r\n" else "\n\n"
+        (paras.mkString(sep).getBytes(StandardCharsets.UTF_8), "text")
       } else if (kind < 950) {
         (junkPayload(r), "junk_text")
       } else {

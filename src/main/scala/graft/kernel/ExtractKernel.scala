@@ -96,9 +96,15 @@ object ExtractKernel {
           val text = PdfExtract.extractText(bytes, cfg)
           done(url, "pdf", text, text, None, Seq.empty, partitionId, attempt, "pdf-lite")
         case "html" =>
-          val raw = TextKernel.extractTextFromFile(bytes, cfg) // byte-identical invariant
-          val decoded = TextKernel.decodeUtf8Strict(bytes).getOrElse(TextKernel.decodeLatin1(bytes))
-          val mc = MainContent.extract(decoded)
+          // one decode + newline translation shared by the reference-exact
+          // raw path (T3, text-mode open semantics) and the main-content path
+          val translated = TextKernel.translateNewlines(
+            TextKernel.decodeUtf8Strict(bytes).getOrElse(TextKernel.decodeLatin1(bytes)))
+          val raw = cfg.maxTextLength match {
+            case None => if (TextKernel.hasContent(translated)) Some(translated) else None
+            case Some(_) => TextKernel.extractTextFromFile(bytes, cfg) // capped: full T3 semantics
+          }
+          val mc = MainContent.extract(translated)
           val main = if (TextKernel.hasContent(mc.text)) Some(mc.text) else None
           val spans = mc.spans.map(s => Span(s.kind, s.start, s.end))
           val title = if (mc.title.nonEmpty) Some(mc.title) else None

@@ -160,25 +160,123 @@ object TextKernel {
     new String(bytes, StandardCharsets.ISO_8859_1)
 
   // ---------------------------------------------------------------------
-  // T3: extract_text_from_file (src/processor.py:648-665)
-  //   open utf-8; on UnicodeDecodeError reread latin-1; read at most `cap`
-  //   characters (code points); None if blank. With cap set, Python only
-  //   raises if the malformed byte falls within the first `cap` decoded
-  //   characters — reproduced below.
+  // Universal-newline translation (Python text mode, PEP 278): the reference
+  // opens files with text-mode open(..., "r", encoding=...) at
+  // src/processor.py:656,659, so \r\n and lone \r become \n BEFORE any
+  // cap/strip — byte-identity requires reproducing it.
   // ---------------------------------------------------------------------
+  def translateNewlines(s: String): String = {
+    if (s.indexOf('\r') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\r') {
+        sb.append('\n')
+        if (i + 1 < s.length && s.charAt(i + 1) == '\n') i += 1
+      } else sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  // ---------------------------------------------------------------------
+  // T3: extract_text_from_file (src/processor.py:648-665)
+  //   text-mode open utf-8; on UnicodeDecodeError reread latin-1; read at
+  //   most `cap` characters (code points, counted AFTER universal-newline
+  //   translation); None if blank.
+  //
+  //   Capped-read decode-error semantics match CPython's io.TextIOWrapper:
+  //   the wrapper consumes 8 KiB byte chunks and decodes each chunk eagerly,
+  //   so read(cap) raises iff a malformed byte lies within a consumed chunk
+  //   (verified empirically: error at byte 8190 raises for cap=5, error at
+  //   byte 8193 does not).
+  // ---------------------------------------------------------------------
+  private val TextIoChunk = 8192 // CPython io.TextIOWrapper chunk size
+
+  /** io.TextIOWrapper(..., encoding=utf-8).read(cap): Right(text of exactly
+    * min(cap, available) translated code points) or Left(()) on a
+    * UnicodeDecodeError within the consumed chunks. */
+  private def readTextModeUtf8(bytes: Array[Byte], cap: Int): Either[Unit, String] = {
+    val dec = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    val in = ByteBuffer.wrap(bytes)
+    val out = java.nio.CharBuffer.allocate(TextIoChunk + 8)
+    val sb = new java.lang.StringBuilder(math.min(bytes.length, cap * 2))
+    var cpCount = 0          // translated code points accumulated
+    var pendingCr = false    // stateful \r at chunk boundary (IncrementalNewlineDecoder)
+    var consumed = 0
+    while (cpCount < cap && consumed < bytes.length) {
+      val chunkEnd = math.min(bytes.length, consumed + TextIoChunk)
+      in.limit(chunkEnd)
+      out.clear()
+      var res = dec.decode(in, out, false)
+      while (res.isOverflow) { // chunk produced more chars than buffer — grow via flush-to-sb
+        out.flip()
+        pendingCr = appendTranslated(sb, out, pendingCr); cpCount = sb.codePointCount(0, sb.length)
+        out.clear()
+        res = dec.decode(in, out, false)
+      }
+      if (res.isError) return Left(())
+      out.flip()
+      pendingCr = appendTranslated(sb, out, pendingCr)
+      cpCount = sb.codePointCount(0, sb.length) + (if (pendingCr) 1 else 0)
+      consumed = chunkEnd
+    }
+    if (consumed >= bytes.length) {
+      in.limit(bytes.length)
+      out.clear()
+      val res = dec.decode(in, out, true)
+      if (res.isError) return Left(())
+      dec.flush(out)
+      out.flip()
+      pendingCr = appendTranslated(sb, out, pendingCr)
+    }
+    if (pendingCr) sb.append('\n') // EOF flushes a held \r as \n
+    val s = sb.toString
+    Right(truncate(s, Some(cap)))
+  }
+
+  /** Append `buf` to `sb` with \r\n / \r -> \n translation; `heldCr` is a
+    * \r seen at the end of the previous buffer. Returns whether a \r is now
+    * held (last char of this buffer). */
+  private def appendTranslated(sb: java.lang.StringBuilder, buf: java.nio.CharBuffer,
+                               heldCr: Boolean): Boolean = {
+    var held = heldCr
+    var i = 0
+    val n = buf.length
+    while (i < n) {
+      val c = buf.charAt(i)
+      if (held) {
+        sb.append('\n')
+        held = false
+        if (c == '\n') { i += 1 } // swallow the \n of a split \r\n
+        else ()
+      } else if (c == '\r') {
+        if (i + 1 < n) {
+          sb.append('\n')
+          if (buf.charAt(i + 1) == '\n') i += 1
+          i += 1
+        } else { held = true; i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    held
+  }
+
   def extractTextFromFile(bytes: Array[Byte], cfg: Config = defaultConfig): Option[String] = {
     val cap = cfg.maxTextLength
-    val text = decodeUtf8Strict(bytes) match {
-      case Right(full) => truncate(full, cap)
-      case Left(errOffset) =>
-        cap match {
-          case Some(c) =>
-            // Code points decodable before the error:
-            val prefix = decodeUtf8Strict(java.util.Arrays.copyOfRange(bytes, 0, errOffset))
-              .getOrElse("") // clean prefix by construction
-            if (cpLength(prefix) >= c) truncate(prefix, cap)
-            else decodeLatin1(java.util.Arrays.copyOfRange(bytes, 0, math.min(bytes.length, c.toLong).toInt))
-          case None => decodeLatin1(bytes)
+    val text = cap match {
+      case None =>
+        decodeUtf8Strict(bytes) match {
+          case Right(full) => translateNewlines(full)
+          case Left(_)     => translateNewlines(decodeLatin1(bytes))
+        }
+      case Some(c) =>
+        readTextModeUtf8(bytes, c) match {
+          case Right(s) => s
+          case Left(_)  => // latin-1 is total: read(cap) can't fail on reread
+            truncate(translateNewlines(decodeLatin1(bytes)), Some(c))
         }
     }
     if (hasContent(text)) Some(text) else None

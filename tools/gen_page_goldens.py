@@ -7,7 +7,7 @@ native. PDF payloads are marked kind=pdf with no text expectation here
 self-consistency); html/text/junk payloads get byte-exact expectations.
 
 Usage: gen_page_goldens.py payloads.jsonl golden_out.jsonl"""
-import base64, json, sys
+import base64, io, json, sys
 
 FALLBACK_MAX = 204800
 FALLBACK_MIN_PRINTABLE = 0.99
@@ -29,15 +29,15 @@ def sniff(b: bytes) -> str:
     return 'other'
 
 def extract_text_from_file(data: bytes, cap=None):
+    # text-mode open() semantics: universal-newline translation (reference
+    # src/processor.py:656,659), cap counts translated chars
+    def _read(enc):
+        f = io.TextIOWrapper(io.BytesIO(data), encoding=enc)
+        return f.read() if cap is None else f.read(cap)
     try:
-        text = data.decode('utf-8')
-        if cap is not None: text = text[:cap]
-    except UnicodeDecodeError as e:
-        if cap is not None:
-            prefix = data[:e.start].decode('utf-8')
-            text = prefix[:cap] if len(prefix) >= cap else data[:cap].decode('latin-1')
-        else:
-            text = data.decode('latin-1')
+        text = _read('utf-8')
+    except UnicodeDecodeError:
+        text = _read('latin-1')
     return text if text.strip() else None
 
 def extract_text_fallback(data: bytes, cap=None):

@@ -4,7 +4,7 @@ text semantics (see /root/reference/src/processor.py, text_limits.py,
 uploader.py, ocr_client.py, ocr_watcher.py) in Python -- where they are
 native -- and freezes input/output pairs so the Scala kernel can be checked
 for Python/JVM byte identity. Deterministic; run once, commit output."""
-import base64, json, re, sys
+import base64, io, json, re, sys
 
 FALLBACK_MAX = 204800
 FALLBACK_MIN_PRINTABLE = 0.99
@@ -14,18 +14,16 @@ def truncate_text(s, cap):
     return s[:cap]
 
 def extract_text_from_file(data: bytes, cap):
+    # Reference opens files in TEXT mode (src/processor.py:656,659):
+    # universal-newline translation applies, and the cap counts translated
+    # characters. io.TextIOWrapper reproduces open() exactly.
+    def _read(enc):
+        f = io.TextIOWrapper(io.BytesIO(data), encoding=enc)
+        return f.read() if cap is None else f.read(cap)
     try:
-        text = data.decode('utf-8')
-        text = truncate_text(text, cap)
-    except UnicodeDecodeError as e:
-        if cap is not None:
-            prefix = data[:e.start].decode('utf-8')
-            if len(prefix) >= cap:
-                text = prefix[:cap]
-            else:
-                text = data[:cap].decode('latin-1')
-        else:
-            text = data.decode('latin-1')
+        text = _read('utf-8')
+    except UnicodeDecodeError:
+        text = _read('latin-1')
     return text if text.strip() else None
 
 def extract_text_fallback(data: bytes, cap):
@@ -97,6 +95,13 @@ byte_cases = [
     ('x '*50 + '\x01'*3).encode('utf-8'),              # below 0.99
     '  ​­zero-width'.encode('utf-8'),  # Zl/Zp/Cf
     b'%PDF-1.4 fake',
+    # universal-newline cases (text-mode translation, ADVICE r1)
+    b'crlf line1\r\nline2\r\nend\r',
+    b'lone\rcarriage\rreturns',
+    b'mixed\r\nnewlines\rand\nnl',
+    b'umlaut \xe4\r\nnext line',
+    b'a\r\nb\r\nc\r\nd',
+    b'x' * 9000 + b'\xff tail',
     'mixed � repl and  private'.encode('utf-8'),
 ]
 caps = [None, 5, 10, 64]
