@@ -32,11 +32,17 @@ object Extract {
                            failed: Long, bytesIn: Long)
 
   final case class PageSlim(url: String, html: Array[Byte])
+  /** Pending row with its retry count (prior failed attempts, 0 first time). */
+  final case class PageJob(url: String, html: Array[Byte], prior_attempts: Int)
 
-  /** Run one incremental extraction pass. */
+  /** Run one incremental extraction pass. Quarantine semantics follow the
+    * reference's retry-then-terminal state machine (src/queue.py:59-78): a
+    * url whose rows are all failures with < maxRetries attempts is still
+    * pending — it is re-driven here with attempt = prior failure count —
+    * and becomes terminal only at maxRetries. */
   def run(spark: SparkSession, pagesDf: DataFrame, table: SnapshotTable,
           numSalts: Int = 256, numPartitions: Int = 0,
-          attempt: Int = 0): Metrics = {
+          maxRetries: Int = SnapshotTable.DefaultMaxRetries): Metrics = {
     import spark.implicits._
 
     val p = if (numPartitions > 0) numPartitions
@@ -46,9 +52,17 @@ object Extract {
     // text/lang/warc_ts are never read — verify via .explain ReadSchema)
     val pages = pagesDf.select(col("url"), col("html"))
 
-    val pending = table.doneUrls(spark) match {
+    val notDone = table.doneUrls(spark, maxRetries) match {
       case Some(done) => pages.join(done, Seq("url"), "left_anti")
       case None       => pages
+    }
+    // attach prior attempt counts for re-driven failures (small set — the
+    // broadcast-ability is structural: only failed-but-retryable urls)
+    val pending = table.retryAttempts(spark, maxRetries) match {
+      case Some(att) =>
+        notDone.join(broadcast(att), Seq("url"), "left")
+          .withColumn("prior_attempts", coalesce(col("prior_attempts"), lit(0)))
+      case None => notDone.withColumn("prior_attempts", lit(0))
     }
 
     val bytesIn: LongAccumulator = spark.sparkContext.longAccumulator("graft.bytesIn")
@@ -62,17 +76,18 @@ object Extract {
     val salted = pending
       .withColumn("salt", pmod(xxhash64(col("url")), lit(numSalts)).cast("int"))
       .repartition(p, col("salt"))
-      .select(col("url"), col("html"))
-      .as[PageSlim]
+      .select(col("url"), col("html"), col("prior_attempts"))
+      .as[PageJob]
 
     val extracted = salted.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
-      val att = Option(TaskContext.get()).map(_.attemptNumber).getOrElse(attempt)
+      val taskRetry = Option(TaskContext.get()).map(_.attemptNumber).getOrElse(0)
       val t0 = System.nanoTime()
       var nDocs = 0L
       val mapped = it.map { pg =>
         bytesIn.add(if (pg.html == null) 0 else pg.html.length.toLong)
-        val doc = ExtractKernel.extractOne(pg.url, pg.html, pid, att)
+        val doc = ExtractKernel.extractOne(pg.url, pg.html, pid,
+          pg.prior_attempts + taskRetry)
         if (doc.error.isEmpty) docsOk.add(1) else docsFailed.add(1)
         nDocs += 1
         doc
@@ -110,18 +125,33 @@ object Extract {
       docsFailed.value, bytesIn.value)
   }
 
-  /** Quarantined rows of the current snapshot (K2 semantics). */
+  /** Quarantined rows of the current snapshot (K2 semantics): every failed
+    * attempt row, with its attempt number. A url appears once per failed
+    * attempt (the retry history); filter `attempt >= maxRetries - 1` for
+    * terminal rows only. */
   def quarantine(spark: SparkSession, table: SnapshotTable): DataFrame =
     table.read(spark).filter(col("error").isNotNull)
       .select("url", "error", "lineage.partition_id", "lineage.attempt")
 
-  /** A1-style status rollup over the output table (src/queue.py:80-96). */
-  def statusCounts(spark: SparkSession, table: SnapshotTable): DataFrame =
+  /** A1-style status rollup over the output table (src/queue.py:80-96),
+    * resolved per url across retries: done / done_empty on any success,
+    * error once terminally failed, pending_retry while attempts remain
+    * (the analog of the reference's `pending` after a failed try). */
+  def statusCounts(spark: SparkSession, table: SnapshotTable,
+                   maxRetries: Int = SnapshotTable.DefaultMaxRetries): DataFrame =
     table.read(spark)
+      .groupBy("url")
+      .agg(
+        max(when(col("error").isNull && col("extracted_text").isNotNull, 1)
+          .otherwise(0)).as("has_done"),
+        max(when(col("error").isNull && col("extracted_text").isNull, 1)
+          .otherwise(0)).as("has_empty"),
+        sum(when(col("error").isNotNull, 1).otherwise(0)).as("fails"))
       .withColumn("status",
-        when(col("error").isNotNull, "error")
-          .when(col("extracted_text").isNotNull, "done")
-          .otherwise("done_empty"))
+        when(col("has_done") === 1, "done")
+          .when(col("has_empty") === 1, "done_empty")
+          .when(col("fails") >= maxRetries, "error")
+          .otherwise("pending_retry"))
       .groupBy("status").count()
 }
 

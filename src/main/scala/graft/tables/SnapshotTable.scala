@@ -25,7 +25,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * Readers see the union of the snapshot chain (each snapshot appends data
  * files). `doneUrls` powers incremental resume via left-anti join.
  */
+object SnapshotTable {
+  /** Reference default: src/settings.py:49 MAX_RETRIES = 3. */
+  val DefaultMaxRetries = 3
+}
+
 final class SnapshotTable(dirStr: String) {
+  import SnapshotTable.DefaultMaxRetries
   private val dir: Path = Paths.get(dirStr)
   private val metaDir = dir.resolve("metadata")
   private val dataDir = dir.resolve("data")
@@ -56,21 +62,33 @@ final class SnapshotTable(dirStr: String) {
     Some(Manifest(n.get("version").asInt, n.get("parent").asInt, dirs, metrics, lineage))
   }
 
-  /** All data dirs visible at the current snapshot (chain walk). */
-  def visibleDataDirs: Seq[String] = currentVersion match {
+  /** All manifests visible at the current snapshot (chain walk). */
+  def visibleManifests: Seq[Manifest] = currentVersion match {
     case None => Seq.empty
     case Some(v) =>
-      val out = Seq.newBuilder[String]
+      val out = Seq.newBuilder[Manifest]
       var cur = v
       var guard = 0
       while (cur >= 0 && guard < 1000000) {
         manifest(cur) match {
-          case Some(m) => out ++= m.dataDirs.filter(d => Files.exists(Paths.get(d))); cur = m.parent
+          case Some(m) => out += m; cur = m.parent
           case None => cur = -1
         }
         guard += 1
       }
       out.result()
+  }
+
+  /** All data dirs visible at the current snapshot (chain walk). */
+  def visibleDataDirs: Seq[String] =
+    visibleManifests.flatMap(_.dataDirs.filter(d => Files.exists(Paths.get(d))))
+
+  /** Total quarantined rows across the chain per manifest metrics; None if
+    * any manifest lacks the metric (then callers must assume failures). */
+  def chainFailedTotal: Option[Long] = {
+    val ms = visibleManifests
+    val counts = ms.map(_.metrics.get("failed"))
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
   }
 
   def isEmpty: Boolean = visibleDataDirs.isEmpty
@@ -82,10 +100,46 @@ final class SnapshotTable(dirStr: String) {
     spark.read.parquet(dirs: _*)
   }
 
-  /** Urls already processed (column-pruned scan of the chain). */
-  def doneUrls(spark: SparkSession): Option[DataFrame] = {
+  /** Urls no longer pending: any successful row, or >= maxRetries failed
+    * attempts (terminal quarantine). Mirrors the reference's
+    * retry-then-terminal state machine (/root/reference/src/queue.py:59-78,
+    * MAX_RETRIES at src/settings.py:49): a row that failed fewer than
+    * maxRetries times stays pending and is re-driven by the next run.
+    *
+    * Fast path: when the chain's manifest metrics record zero failures, the
+    * done set is the plain column-pruned url scan (no aggregate) — the
+    * common case costs nothing extra. */
+  def doneUrls(spark: SparkSession, maxRetries: Int = DefaultMaxRetries): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
     val dirs = visibleDataDirs
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*).select("url"))
+    if (dirs.isEmpty) None
+    else if (chainFailedTotal.contains(0L))
+      Some(spark.read.parquet(dirs: _*).select("url"))
+    else {
+      val t = spark.read.parquet(dirs: _*).select(col("url"), col("error"))
+      Some(t.groupBy("url")
+        .agg(max(when(col("error").isNull, 1).otherwise(0)).as("ok"),
+          sum(when(col("error").isNotNull, 1).otherwise(0)).as("fails"))
+        .filter(col("ok") === 1 || col("fails") >= maxRetries)
+        .select("url"))
+    }
+  }
+
+  /** (url, prior_attempts) for urls that failed but are still retryable —
+    * the re-drive set. None when the chain is empty or recorded no failures.
+    * Small by construction (failed urls only): Catalyst will broadcast it. */
+  def retryAttempts(spark: SparkSession, maxRetries: Int = DefaultMaxRetries): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    val dirs = visibleDataDirs
+    if (dirs.isEmpty || chainFailedTotal.contains(0L)) None
+    else {
+      val t = spark.read.parquet(dirs: _*).select(col("url"), col("error"))
+      Some(t.groupBy("url")
+        .agg(max(when(col("error").isNull, 1).otherwise(0)).as("ok"),
+          sum(when(col("error").isNotNull, 1).otherwise(0)).as("fails"))
+        .filter(col("ok") === 0 && col("fails") > 0 && col("fails") < maxRetries)
+        .select(col("url"), col("fails").cast("int").as("prior_attempts")))
+    }
   }
 
   /** Write the data files for the next snapshot (the action runs here);

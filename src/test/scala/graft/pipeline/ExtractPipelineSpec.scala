@@ -67,6 +67,52 @@ class ExtractPipelineSpec extends AnyFunSuite {
     assert(mf.metrics("bytes_in") > 0)
   }
 
+  test("failed rows are re-driven with incremented attempt, terminal at maxRetries") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.kernel.ExtractKernel.{ExtractedDoc, Lineage}
+    val tableDir = tmp("table3")
+    val table = new SnapshotTable(tableDir)
+    val pages = spark.range(20).mapPartitions(_.map(i => PageGen.page(i, 11L))).toDF()
+    val urls = pages.select("url").as[String].collect().sorted
+    val (retryUrl, deadUrl) = (urls(3), urls(5))
+
+    // seed a snapshot holding only failures: retryUrl failed once (attempt 0),
+    // deadUrl exhausted all 3 attempts (reference MAX_RETRIES)
+    def failedRow(u: String, att: Int) = ExtractedDoc(u, "html", None, None, None,
+      Seq.empty, 0.5, 0L, Some("transient: simulated"), Lineage(0, att, "error"))
+    val seeded = Seq(failedRow(retryUrl, 0),
+      failedRow(deadUrl, 0), failedRow(deadUrl, 1), failedRow(deadUrl, 2)).toDS().toDF()
+    table.commit(seeded, Map("input" -> 4L, "extracted" -> 0L, "failed" -> 4L))
+
+    // before the re-drive: one pending_retry, one terminal error
+    val pre = Extract.statusCounts(spark, table).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pre.getOrElse("pending_retry", 0L) === 1)
+    assert(pre.getOrElse("error", 0L) === 1)
+
+    // run: all 20 minus deadUrl (terminal) are pending; retryUrl re-driven
+    val m1 = Extract.run(spark, pages, table, numSalts = 4, numPartitions = 2)
+    assert(m1.input === 19, s"expected 19 pending (terminal url excluded), got ${m1.input}")
+    val out = table.read(spark)
+    val retryRows = out.filter(col("url") === retryUrl && col("error").isNull)
+    assert(retryRows.count() === 1, "re-driven url must now have a success row")
+    assert(retryRows.select("lineage.attempt").as[Int].head() === 1,
+      "re-drive must carry attempt = prior failure count")
+    assert(out.filter(col("url") === deadUrl && col("error").isNull).count() === 0,
+      "terminal url must not be re-attempted")
+
+    // resume is again a no-op (successes + terminal failures both done)
+    val m2 = Extract.run(spark, pages, table, numSalts = 4, numPartitions = 2)
+    assert(m2.input === 0, "nothing pending after re-drive")
+
+    val post = Extract.statusCounts(spark, table).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(post.getOrElse("pending_retry", 0L) === 0)
+    assert(post.getOrElse("error", 0L) === 1)
+    assert(post.getOrElse("done", 0L) + post.getOrElse("done_empty", 0L) === 19)
+  }
+
   test("interrupted commit leaves previous snapshot intact (crash safety)") {
     import spark.implicits._
     val tableDir = tmp("table2")
