@@ -244,17 +244,25 @@ object SparkEntry {
       graft.operators.Dedup.simHashPairs(docs.unionByName(mutated), "doc_id", "text",
         maxHamming = 3).orderBy("id_a", "id_b")
     }),
-    // ----- n-gram Jaccard confirm on planted candidate pairs -----
+    // ----- n-gram Jaccard: word-trigram set overlap of adjacent-id pairs,
+    //       fully distributed (self-join + codegen'd array HOFs, no collect)
+    //       and DuckDB-oracled via the same list algebra. Integer counts
+    //       only (hash-safe); the ratio is inter_cnt/union_cnt. -----
     "q_ngram_jaccard" -> ((s, dir) => {
-      import s.implicits._
-      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
-        .as[(Long, String)].collect().toMap // documents is small (500 rows) — driver-side pairing is test-scale only
-      val pairs = docs.keys.toSeq.sorted.take(50).map { id =>
-        val other = (id + 1) % docs.size
-        val j = graft.operators.Dedup.exactJaccard(docs(id), docs(other.toLong))
-        (id, other.toLong, math.round(j * 10000).toInt)
-      }
-      s.createDataFrame(pairs).toDF("id_a", "id_b", "jaccard_x10k").orderBy("id_a")
+      val words = regexp_extract_all(lower(col("text")), lit(NonWs + "+"), lit(0))
+      val g = tbl(s, dir, "documents")
+        .select(col("doc_id"), words.as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), array_distinct(
+          transform(sequence(lit(0), size(col("w")) - 3),
+            i => concat_ws(" ", element_at(col("w"), i + 1),
+              element_at(col("w"), i + 2), element_at(col("w"), i + 3)))).as("grams"))
+      g.as("a").join(g.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .filter(col("a.doc_id") < 50)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          size(array_intersect(col("a.grams"), col("b.grams"))).as("inter_cnt"),
+          size(array_union(col("a.grams"), col("b.grams"))).as("union_cnt"))
+        .orderBy("id_a")
     }),
     // ----- ANN: brute-force cosine top-k (codegen'd HOF dot product) -----
     "q_ann_topk" -> ((s, dir) => {
@@ -385,6 +393,8 @@ object SparkEntry {
       "SELECT c_custkey, c_mktsegment, count(*) AS n_orders, CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_custkey, c_mktsegment ORDER BY n_orders DESC, c_custkey LIMIT 100",
     "q_text_stats" ->
       s"""SELECT doc_id, length(text) AS n_cp, len(regexp_extract_all(text, '$NonWs+')) AS n_tokens, length(regexp_replace(text, '[^ -~]', '', 'g')) AS n_ascii_printable, len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|for|it|on)\\b')) AS n_stopwords FROM documents ORDER BY doc_id""",
+    "q_ngram_jaccard" ->
+      s"""WITH g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams FROM (SELECT doc_id, regexp_extract_all(lower(text), '$NonWs+') AS w FROM documents) WHERE len(w) >= 3) SELECT a.doc_id AS id_a, b.doc_id AS id_b, len(list_intersect(a.grams, b.grams)) AS inter_cnt, len(list_distinct(list_concat(a.grams, b.grams))) AS union_cnt FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id < 50 ORDER BY id_a""",
     "q_lang_id" ->
       """SELECT doc_id, len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|with|was)\b')) AS s_en, len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b')) AS s_de, len(regexp_extract_all(lower(text), '\b(el|la|los|las|de|que|es|en|un|una)\b')) AS s_es, CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en' WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS lang_guess FROM documents ORDER BY doc_id"""
   )

@@ -197,42 +197,113 @@ object Dedup {
 
   // ----------------------------------------------------- cluster collapse
   /**
-   * Connected components over near-dup pairs by iterative min-label
-   * propagation (the standard large-graph approach when components are
-   * shallow, as dup clusters are): each node adopts the minimum id among
-   * itself and its neighbors until fixpoint. Converges in O(component
-   * diameter) rounds; `maxIters` bounds pathological chains. Each round is
-   * one shuffle over the EDGE set (small — pairs, not documents).
+   * Connected components over near-dup pairs, hybrid by edge-set size:
+   *
+   *  - **small edge sets** (the overwhelmingly common case: near-dup pairs
+   *    are a tiny fraction of the corpus) — collect the EDGES (never the
+   *    documents; 16 bytes/edge, bounded by `maxDriverEdges`) and run
+   *    path-compressed union-find on the driver. One Spark job total,
+   *    instead of the 2-jobs-per-round label-propagation storm.
+   *  - **large edge sets** — alternating large-star/small-star
+   *    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+   *    SoCC'14): converges in O(log d) rounds, each round shuffles only the
+   *    shrinking edge set; convergence detected by an (count, checksum)
+   *    aggregate folded into the per-round materialization, not a separate
+   *    driver count of changed labels.
    *
    * Returns (id, cluster_id) where cluster_id = min id of the component.
+   * Logs a warning (and still returns the partial labels) if the iterative
+   * path hits `maxRounds` unconverged — callers never get silently split
+   * clusters without a signal.
    */
-  def clusters(pairs: DataFrame, maxIters: Int = 10)
+  def clusters(pairs: DataFrame, maxDriverEdges: Long = 4L << 20, maxRounds: Int = 25)
               (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    // undirected edges, both directions
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
-    var changedCount = 1L
-    var iter = 0
-    while (changedCount > 0 && iter < maxIters) {
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src").as("id2"))
-        .agg(min(col("cluster_id")).as("nbr_min"))
-      val updated = labels.join(neighborMin, labels("id") === neighborMin("id2"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("new_cluster"),
-          col("cluster_id"))
-      changedCount = updated.filter(col("new_cluster") =!= col("cluster_id")).count()
-      labels = updated.select(col("id"), col("new_cluster").as("cluster_id"))
-        .localCheckpoint() // truncate the iterative lineage
-      iter += 1
+    val edges = pairs
+      .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+    val empty = spark.createDataset(Seq.empty[(Long, Long)]).toDF("id", "cluster_id")
+    val n = edges.count() // one cheap action over pairs, decides the strategy
+    if (n == 0) empty
+    else if (n <= maxDriverEdges) {
+      val arr = edges.as[(Long, Long)].collect()
+      spark.createDataset(unionFindMinLabel(arr).toSeq).toDF("id", "cluster_id")
+    } else largeSmallStar(edges, maxRounds)
+  }
+
+  /** Path-compressed union-find; labels every node with the component min. */
+  private[operators] def unionFindMinLabel(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
     }
-    edges.unpersist()
-    labels
+    edges.foreach { case (a, b) =>
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val ks = parent.keys.toArray
+    val minOf = scala.collection.mutable.LongMap.empty[Long]
+    ks.foreach { k =>
+      val r = find(k)
+      minOf(r) = math.min(minOf.getOrElse(r, Long.MaxValue), k)
+    }
+    ks.map(k => (k, minOf(find(k))))
+  }
+
+  /** Distributed CC for edge sets too big to collect. Each round: large-star
+    * (hang big neighbors off the local min) then small-star (contract small
+    * neighbors), edge set re-canonicalized to (u > v). At fixpoint every
+    * edge is (member, root-min). */
+  private[operators] def largeSmallStar(edges0: DataFrame, maxRounds: Int)
+                                       (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    def canon(e: DataFrame): DataFrame =
+      e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .where(col("u") =!= col("v")).distinct()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = und.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      und.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // e is canonical (u > v): every neighbor in v is strictly smaller
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      e.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+    }
+
+    var cur = canon(edges0).localCheckpoint()
+    var stable = false
+    var round = 0
+    var prevSig = (-1L, -1L)
+    while (!stable && round < maxRounds) {
+      val next = canon(smallStar(canon(largeStar(cur)))).localCheckpoint()
+      // convergence = stable (count, order-free checksum) — one aggregate on
+      // the already-materialized round output, no extra label diff job
+      val sig = next.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v"))))
+        .as[(Long, Long)].head()
+      stable = sig == prevSig
+      prevSig = sig
+      cur = next
+      round += 1
+    }
+    if (!stable) System.err.println(
+      s"[graft.Dedup] WARNING: connected-components unconverged after $maxRounds rounds; clusters may be split")
+    // fixpoint edges are (member, root); roots label themselves
+    cur.select(col("u").as("id"), col("v").as("cluster_id"))
+      .union(cur.select(col("v").as("id"), col("v").as("cluster_id")).distinct())
+      .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
   }
 
   /** Keep one canonical doc per near-dup cluster: members of a cluster
@@ -243,6 +314,28 @@ object Dedup {
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
     df.join(toDrop, Seq(idCol), "left_anti")
+  }
+
+  /** Exact n-gram Jaccard confirmation of candidate pairs, distributed: two
+    * hash joins attach the texts to the (small) candidate set, then the
+    * kernel fn runs inside mapPartitions. The joined payload is bounded by
+    * the candidate-pair count, never the corpus — at 100 TB the documents
+    * table streams through the join build once. */
+  def confirmPairs(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+                   minJaccard: Double, shingle: Int = 5)
+                  (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val d = docs.select(col(idCol).cast("long").as("jid"), col(textCol).as("jtext"))
+    pairs.select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
+      .join(d.select(col("jid").as("id_a"), col("jtext").as("text_a")), Seq("id_a"))
+      .join(d.select(col("jid").as("id_b"), col("jtext").as("text_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"))
+      .as[(Long, Long, String, String)]
+      .mapPartitions(_.flatMap { case (a, b, ta, tb) =>
+        val j = exactJaccard(if (ta == null) "" else ta, if (tb == null) "" else tb, shingle)
+        if (j >= minJaccard) Some((a, b, j)) else None
+      })
+      .toDF("id_a", "id_b", "jaccard")
   }
 
   // --------------------------------------------------------------- simhash

@@ -82,6 +82,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept === Set(1L, 10L, 20L))
   }
 
+  test("confirmPairs: distributed exact-Jaccard verification of candidates") {
+    import spark.implicits._
+    val docs = ((0 until 20).map(i => (i.toLong, baseText(i))) :+
+      (1000L, mutate(baseText(0), 3, 1)) :+ (1001L, mutate(baseText(1), 60, 2)))
+      .toDF("doc_id", "text")
+    // candidates: a true near-dup, a heavily-mutated pair, an unrelated pair
+    val cands = Seq((0L, 1000L), (1L, 1001L), (2L, 3L)).toDF("id_a", "id_b")
+    val confirmed = Dedup.confirmPairs(cands, docs, "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(confirmed === Set((0L, 1000L)), s"got $confirmed")
+  }
+
+  test("distributed CC (large-star/small-star) handles deep chains and matches union-find") {
+    import spark.implicits._
+    // diameter-40 path (the old fixed-10-iteration label propagation would
+    // silently split this), plus a second component and reversed edges
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val other = Seq((100L, 101L), (102L, 101L), (103L, 100L))
+    val edges = spark.createDataset(chain ++ other).toDF("u", "v")
+    val labels = Dedup.largeSmallStar(edges, maxRounds = 25)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 40L).forall(labels(_) == 0L), s"chain split: $labels")
+    assert(Seq(100L, 101L, 102L, 103L).forall(labels(_) == 100L))
+
+    // driver union-find agrees on the same graph
+    val uf = Dedup.unionFindMinLabel((chain ++ other).toArray).toMap
+    assert(uf === labels)
+
+    // the public API picks the driver path for small edge sets and yields
+    // identical labels
+    val viaClusters = Dedup.clusters(
+      edges.select(col("u").as("id_a"), col("v").as("id_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaClusters === labels)
+  }
+
   // ------------------------------------------------------------- simhash
   test("simhash: identity, locality, and pair detection") {
     val t = baseText(3)
