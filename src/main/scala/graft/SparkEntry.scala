@@ -283,16 +283,27 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), col("rank"))
         .orderBy("query_id", "rank")
     }),
-    // ----- multimodal: binary decode-stub + batched feature extraction -----
+    // ----- multimodal: binary decode-stub + batched feature extraction.
+    //       Blobs are doc-derived (header params = doc_id arithmetic,
+    //       payload = text bytes) so the DuckDB oracle independently
+    //       recomputes what the encode->decode->feature path must emit. -----
     "q_media_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
-      val media = s.range(500)
-        .mapPartitions(_.map(i => graft.operators.Multimodal.mediaRow(i)))
+      val media = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) => graft.operators.Multimodal.mediaFromDoc(id, t) })
         .toDF("media_id", "bytes")
       graft.operators.Multimodal.extractFeatures(media)
-        .select(col("media_id"), col("meta.media_type"), col("meta.width"),
-          col("meta.height"), col("meta.valid"), size(col("frame_samples")).as("n_frames"))
+        .select(col("media_id"),
+          col("meta.media_type").as("media_type"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          col("meta.channels").cast("long").as("channels"),
+          col("meta.duration_ms").as("duration_ms"),
+          col("meta.payload_bytes").as("payload_bytes"),
+          col("meta.valid").cast("long").as("valid"),
+          size(col("frame_samples")).cast("long").as("n_frames"))
         .orderBy("media_id")
     }),
     // ----- flagship extraction over deterministic synthesized pages -----
@@ -314,6 +325,23 @@ object SparkEntry {
         .select(col("url"), col("doc_type"),
           md5(coalesce(col("extracted_text"), lit(""))).as("text_md5"),
           col("n_chars"), size(col("spans")).as("n_spans"))
+        .orderBy("url")
+    }),
+    // ----- the REAL extraction kernel over the testdata documents table:
+    //       text payloads route through the fallback gate and must come out
+    //       verbatim — the one extraction path a SQL oracle can check. -----
+    "q_extract_text" -> ((s, dir) => {
+      import s.implicits._
+      val pages = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          ("doc://" + id,
+            (if (t == null) "" else t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }).toDF("url", "html").as[graft.pipeline.Extract.PageSlim]
+      pages.mapPartitions { it =>
+        it.map(p => graft.kernel.ExtractKernel.extractOne(p.url, p.html, 0, 0))
+      }.toDF()
+        .select(col("url"), col("doc_type"), col("extracted_text"))
         .orderBy("url")
     }),
     // ----- status rollup over the extraction output (A1/K6 semantics) -----
@@ -393,6 +421,31 @@ object SparkEntry {
       "SELECT c_custkey, c_mktsegment, count(*) AS n_orders, CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_custkey, c_mktsegment ORDER BY n_orders DESC, c_custkey LIMIT 100",
     "q_text_stats" ->
       s"""SELECT doc_id, length(text) AS n_cp, len(regexp_extract_all(text, '$NonWs+')) AS n_tokens, length(regexp_replace(text, '[^ -~]', '', 'g')) AS n_ascii_printable, len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|for|it|on)\\b')) AS n_stopwords FROM documents ORDER BY doc_id""",
+    // ANN brute-force: the Spark side computes cosine as a sequential
+    // double-precision left fold (see Similarity.dot); the oracle below is
+    // the same IEEE operation chain (cast-to-double multiply, list_reduce
+    // left fold, sqrt, identical +1e-12 denominator), so ranks match
+    // bit-exactly and the (query_id, vec_id, rank) hash is stable.
+    "q_ann_topk" -> {
+      def dotD(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0), """ +
+        s"""s AS (SELECT q.query_id, d.vec_id, ${dotD("d.embedding", "q.embedding")} / (sqrt(${dotD("d.embedding", "d.embedding")}) * sqrt(${dotD("q.embedding", "q.embedding")}) + 1e-12) AS sim FROM embeddings d, q WHERE d.vec_id <> q.query_id) """ +
+        """SELECT query_id, vec_id, rank FROM (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM s) WHERE rank <= 10 ORDER BY query_id, rank"""
+    },
+    "q_media_features" ->
+      ("""SELECT doc_id AS media_id, """ +
+      """CASE WHEN doc_id % 4 = 3 THEN 'unknown' WHEN doc_id % 4 = 0 THEN 'image' WHEN doc_id % 4 = 1 THEN 'audio' ELSE 'video' END AS media_type, """ +
+      """CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 64 + (doc_id * 37) % 1920 END AS width, """ +
+      """CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 64 + (doc_id * 53) % 1080 END AS height, """ +
+      """CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 + doc_id % 4 END AS channels, """ +
+      """CASE WHEN doc_id % 4 = 2 THEN 1000 + (doc_id * 97) % 60000 ELSE 0 END AS duration_ms, """ +
+      """length(text) AS payload_bytes, """ +
+      """CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END AS valid, """ +
+      """CASE WHEN doc_id % 4 = 2 THEN least(64, (1000 + (doc_id * 97) % 60000 + 999) // 1000) ELSE 0 END AS n_frames """ +
+      """FROM documents ORDER BY media_id"""),
+    "q_extract_text" ->
+      "SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, 'other' AS doc_type, text AS extracted_text FROM documents ORDER BY url",
     "q_ngram_jaccard" ->
       s"""WITH g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams FROM (SELECT doc_id, regexp_extract_all(lower(text), '$NonWs+') AS w FROM documents) WHERE len(w) >= 3) SELECT a.doc_id AS id_a, b.doc_id AS id_b, len(list_intersect(a.grams, b.grams)) AS inter_cnt, len(list_distinct(list_concat(a.grams, b.grams))) AS union_cnt FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id < 50 ORDER BY id_a""",
     "q_lang_id" ->

@@ -164,15 +164,34 @@ object Dedup {
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    numPerms: Int = 64, bands: Int = 16, threshold: Double = 0.7,
                    shingle: Int = 5, seed: Long = 42L, maxBucket: Int = 64)
-                  (implicit spark: SparkSession): Dataset[Pair] = {
+                  (implicit spark: SparkSession): Dataset[Pair] =
+    nearDupPairsCounted(df, idCol, textCol, numPerms, bands, threshold,
+      shingle, seed, maxBucket)._1
+
+  /** As nearDupPairs, but also returns the dropped-member accumulator: "no
+    * silent caps" — a degenerate bucket (all-identical corpus) truncates at
+    * maxBucket and the overflow count is observable after the action. */
+  def nearDupPairsCounted(df: DataFrame, idCol: String, textCol: String,
+                          numPerms: Int = 64, bands: Int = 16, threshold: Double = 0.7,
+                          shingle: Int = 5, seed: Long = 42L, maxBucket: Int = 64)
+                         (implicit spark: SparkSession)
+      : (Dataset[Pair], org.apache.spark.util.LongAccumulator) = {
     import spark.implicits._
+    val dropped = spark.sparkContext.longAccumulator("graft.lsh.droppedBucketMembers")
     val rowsPerBand = numPerms / bands
     val sigs = signatures(df, idCol, textCol, numPerms, shingle, seed)
     val bandsDs = bandRows(sigs, bands, rowsPerBand)
-    bandsDs
+    val pairs = bandsDs
       .groupByKey(r => (r.band, r.bucket))
       .flatMapGroups { (_: (Int, Long), it: Iterator[BandRow]) =>
-        val members = it.take(maxBucket).toArray
+        val buf = new scala.collection.mutable.ArrayBuffer[BandRow](16)
+        var over = 0L
+        while (it.hasNext) {
+          val r = it.next()
+          if (buf.length < maxBucket) buf += r else over += 1
+        }
+        if (over > 0) dropped.add(over)
+        val members = buf.toArray
         if (members.length < 2) Iterator.empty
         else {
           val out = Seq.newBuilder[Pair]
@@ -193,6 +212,7 @@ object Dedup {
         }
       }
       .dropDuplicates("id_a", "id_b")
+    (pairs, dropped)
   }
 
   // ----------------------------------------------------- cluster collapse

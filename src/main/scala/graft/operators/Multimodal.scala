@@ -95,6 +95,25 @@ object Multimodal {
     (sum.toDouble / bytes.length, ent)
   }
 
+  /** Doc-derived media blob: every header parameter is pure doc_id
+    * arithmetic and the payload is the doc text, so a SQL oracle can
+    * independently recompute what the decode+feature pipeline must emit.
+    * doc_id % 4 == 3 yields a corrupt blob (payload only, no magic). */
+  def mediaFromDoc(docId: Long, text: String): (Long, Array[Byte]) = {
+    val t = (docId % 4).toInt
+    val payload = (if (text == null) "" else text)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val blob =
+      if (t == 3) payload
+      else encodeStub(t,
+        (64 + (docId * 37) % 1920).toInt,
+        (64 + (docId * 53) % 1080).toInt,
+        (1 + docId % 4).toInt,
+        if (t == 2) 1000L + (docId * 97) % 60000 else 0L,
+        payload)
+    (docId, blob)
+  }
+
   /** Deterministic fixture media table generator. */
   def mediaRow(i: Long, seed: Long = 42L): (Long, Array[Byte]) = {
     var x = seed * 0x9E3779B97F4A7C15L + i * 0xC2B2AE3D27D4EB4FL

@@ -19,12 +19,16 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** dot(a,b) via zip_with+aggregate (codegen'd, no UDF). */
+  /** dot(a,b) via zip_with+aggregate (codegen'd, no UDF). Elements are cast
+    * to double BEFORE the multiply: float*float would round at float
+    * precision and diverge from any double-precision oracle. The aggregate
+    * is a sequential left fold — deterministic, engine-reproducible. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
 
   def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
+    sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b) + lit(1e-12))

@@ -82,6 +82,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept === Set(1L, 10L, 20L))
   }
 
+  test("LSH bucket cap is not silent: degenerate corpus fires the drop counter") {
+    import spark.implicits._
+    val same = baseText(7)
+    val df = (0 until 100).map(i => (i.toLong, same)).toDF("doc_id", "text")
+    val (pairs, dropped) = Dedup.nearDupPairsCounted(df, "doc_id", "text",
+      threshold = 0.6, maxBucket = 8)
+    val n = pairs.count() // the action that drives the accumulator
+    assert(n > 0)
+    assert(dropped.value > 0, "identical corpus must overflow the bucket cap loudly")
+  }
+
   test("confirmPairs: distributed exact-Jaccard verification of candidates") {
     import spark.implicits._
     val docs = ((0 until 20).map(i => (i.toLong, baseText(i))) :+
