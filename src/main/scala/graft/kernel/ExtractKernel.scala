@@ -25,16 +25,20 @@ object ExtractKernel {
 
   final case class Span(kind: String, start: Long, end: Long)
   final case class Lineage(partition_id: Int, attempt: Int, extractor: String)
+  /** Output row. Absent text/title/error are `null` (not Option): the
+    * Catalyst schema is identical (nullable string) but the encoder skips
+    * the Option wrap/unwrap on the hottest columns, and spans encode as a
+    * plain object array. */
   final case class ExtractedDoc(
       url: String,
       doc_type: String,
-      extracted_text: Option[String], // reference-exact invariant column
-      text_main: Option[String],      // boilerplate-stripped (html only)
-      title: Option[String],
-      spans: Seq[Span],
+      extracted_text: String, // reference-exact invariant column; null = none
+      text_main: String,      // boilerplate-stripped (html only); null = none
+      title: String,
+      spans: Array[Span],
       quality: Double,
       n_chars: Long,
-      error: Option[String],
+      error: String,
       lineage: Lineage)
 
   /** Content sniffing replaces extension routing (deviation §7.4). */
@@ -93,46 +97,48 @@ object ExtractKernel {
     try {
       docType match {
         case "pdf" =>
-          val text = PdfExtract.extractText(bytes, cfg)
-          done(url, "pdf", text, text, None, Seq.empty, partitionId, attempt, "pdf-lite")
+          val text = PdfExtract.extractText(bytes, cfg).orNull
+          done(url, "pdf", text, text, null, EmptySpans, partitionId, attempt, "pdf-lite")
         case "html" =>
           // one decode + newline translation shared by the reference-exact
           // raw path (T3, text-mode open semantics) and the main-content path
           val translated = TextKernel.translateNewlines(
             TextKernel.decodeUtf8Strict(bytes).getOrElse(TextKernel.decodeLatin1(bytes)))
           val raw = cfg.maxTextLength match {
-            case None => if (TextKernel.hasContent(translated)) Some(translated) else None
-            case Some(_) => TextKernel.extractTextFromFile(bytes, cfg) // capped: full T3 semantics
+            case None => if (TextKernel.hasContent(translated)) translated else null
+            case Some(_) => TextKernel.extractTextFromFile(bytes, cfg).orNull // capped: full T3 semantics
           }
           val mc = MainContent.extract(translated)
-          val main = if (TextKernel.hasContent(mc.text)) Some(mc.text) else None
-          val spans = mc.spans.map(s => Span(s.kind, s.start, s.end))
-          val title = if (mc.title.nonEmpty) Some(mc.title) else None
+          val main = if (TextKernel.hasContent(mc.text)) mc.text else null
+          val spans = mc.spans.iterator.map(s => Span(s.kind, s.start, s.end)).toArray
+          val title = if (mc.title.nonEmpty) mc.title else null
           done(url, "html", raw, main, title, spans, partitionId, attempt, "html-tokenizer")
         case _ =>
-          val text = TextKernel.extractTextFallback(bytes, cfg)
-          done(url, "other", text, text, None, Seq.empty, partitionId, attempt, "fallback")
+          val text = TextKernel.extractTextFallback(bytes, cfg).orNull
+          done(url, "other", text, text, null, EmptySpans, partitionId, attempt, "fallback")
       }
     } catch {
       case e: Throwable =>
-        ExtractedDoc(url, docType, None, None, None, Seq.empty, 0.5, 0L,
-          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"),
+        ExtractedDoc(url, docType, null, null, null, EmptySpans, 0.5, 0L,
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}",
           Lineage(partitionId, attempt, "error"))
     }
   }
+
+  private val EmptySpans: Array[Span] = Array.empty
 
   /** Quality is a sampled heuristic: scored on the first 20k code points
     * (wordlist hit-ratio converges long before that; keeps huge docs cheap). */
   private val QualitySampleCp = 20000
 
-  private def done(url: String, docType: String, text: Option[String],
-                   main: Option[String], title: Option[String], spans: Seq[Span],
+  private def done(url: String, docType: String, text: String,
+                   main: String, title: String, spans: Array[Span],
                    pid: Int, attempt: Int, extractor: String): ExtractedDoc = {
-    val q = text.map(t =>
-      QualityScore.computeQuality(TextKernel.truncate(t, Some(QualitySampleCp))))
-      .getOrElse(0.5)
+    val q =
+      if (text == null) 0.5
+      else QualityScore.computeQuality(TextKernel.truncate(text, Some(QualitySampleCp)))
     ExtractedDoc(url, docType, text, main, title, spans, q,
-      text.map(TextKernel.cpLength(_).toLong).getOrElse(0L), None,
+      if (text == null) 0L else TextKernel.cpLength(text).toLong, null,
       Lineage(pid, attempt, extractor))
   }
 }

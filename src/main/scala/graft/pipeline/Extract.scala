@@ -88,7 +88,7 @@ object Extract {
         bytesIn.add(if (pg.html == null) 0 else pg.html.length.toLong)
         val doc = ExtractKernel.extractOne(pg.url, pg.html, pid,
           pg.prior_attempts + taskRetry)
-        if (doc.error.isEmpty) docsOk.add(1) else docsFailed.add(1)
+        if (doc.error == null) docsOk.add(1) else docsFailed.add(1)
         nDocs += 1
         doc
       }

@@ -26,19 +26,19 @@ class GoldenCorpusSpec extends AnyFunSuite {
       val page = PageGen.page(i.toLong, 42L)
       assert(page.url === g.get("url").asText, s"url drift at row $i — PageGen changed?")
       val doc = ExtractKernel.extractOne(page.url, page.html, 0, 0)
-      assert(doc.error.isEmpty, s"row $i errored: ${doc.error}")
+      assert(doc.error == null, s"row $i errored: ${doc.error}")
       val kind = g.get("kind").asText
       assert(doc.doc_type === kind, s"row $i sniffed ${doc.doc_type}, golden $kind")
       if (kind != "pdf") {
         val expected = Option(g.get("text_b64")).filter(!_.isNull)
           .map(n => new String(Base64.getDecoder.decode(n.asText), UTF_8))
-        assert(doc.extracted_text === expected, s"byte mismatch at row $i (${page.text})")
+        assert(Option(doc.extracted_text) === expected, s"byte mismatch at row $i (${page.text})")
         expected.foreach { e => checkedBytes += e.length; nonEmpty += 1 }
       } else {
         // engine-frozen semantics: deterministic, and blank pages never leak
         val again = ExtractKernel.extractOne(page.url, page.html, 0, 0)
-        assert(doc.extracted_text === again.extracted_text)
-        doc.extracted_text.foreach(t => assert(TextKernel.hasContent(t)))
+        assert(Option(doc.extracted_text) === Option(again.extracted_text))
+        Option(doc.extracted_text).foreach(t => assert(TextKernel.hasContent(t)))
       }
     }
     assert(nonEmpty > 400, s"suspiciously few non-empty goldens: $nonEmpty")
@@ -51,7 +51,7 @@ class GoldenCorpusSpec extends AnyFunSuite {
       val page = PageGen.page(i.toLong, 42L)
       val doc = ExtractKernel.extractOne(page.url, page.html, 0, 0)
       if (doc.doc_type == "html") {
-        doc.text_main.foreach { main =>
+        Option(doc.text_main).foreach { main =>
           mains += 1
           // boilerplate must be gone
           assert(!main.contains("copyright"), s"footer leaked at $i")

@@ -79,8 +79,8 @@ class ExtractPipelineSpec extends AnyFunSuite {
 
     // seed a snapshot holding only failures: retryUrl failed once (attempt 0),
     // deadUrl exhausted all 3 attempts (reference MAX_RETRIES)
-    def failedRow(u: String, att: Int) = ExtractedDoc(u, "html", None, None, None,
-      Seq.empty, 0.5, 0L, Some("transient: simulated"), Lineage(0, att, "error"))
+    def failedRow(u: String, att: Int) = ExtractedDoc(u, "html", null, null, null,
+      Array.empty, 0.5, 0L, "transient: simulated", Lineage(0, att, "error"))
     val seeded = Seq(failedRow(retryUrl, 0),
       failedRow(deadUrl, 0), failedRow(deadUrl, 1), failedRow(deadUrl, 2)).toDS().toDF()
     table.commit(seeded, Map("input" -> 4L, "extracted" -> 0L, "failed" -> 4L))
