@@ -62,6 +62,125 @@ object MiniPdf {
     out.toByteArray
   }
 
+  /** One page, one simple font with /BaseEncoding /WinAnsiEncoding and a
+    * /Differences array; `codedLine` is raw byte codes shown with Tj. */
+  def buildWithDifferences(codedLine: Array[Byte],
+                           differences: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    def beginObj(num: Int): Unit = { offsets += out.size(); w(s"$num 0 obj\n") }
+    w("%PDF-1.4\n")
+    beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    beginObj(2); w("<< /Type /Pages /Kids [ 4 0 R ] /Count 1 >>\nendobj\n")
+    beginObj(3)
+    w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      s"/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding /Differences [ $differences ] >> >>\nendobj\n")
+    beginObj(4)
+    w("<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+      "/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>\nendobj\n")
+    val content = {
+      val b = new ByteArrayOutputStream()
+      b.write("BT\n/F1 12 Tf\n72 720 Td\n(".getBytes(ISO_8859_1))
+      codedLine.foreach { c =>
+        if (c == '(' || c == ')' || c == '\\') b.write('\\')
+        b.write(c)
+      }
+      b.write(") Tj\nET\n".getBytes(ISO_8859_1))
+      b.toByteArray
+    }
+    beginObj(5)
+    w(s"<< /Length ${content.length} >>\nstream\n"); out.write(content); w("\nendstream\nendobj\n")
+    val xrefPos = out.size()
+    w("xref\n0 6\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** One page, a Type0 (Identity-H, 2-byte codes) font with a /ToUnicode
+    * CMap; `hexCodes` is the hex string shown with Tj (e.g. "00010002"). */
+  def buildWithToUnicode(hexCodes: String, cmap: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    def beginObj(num: Int): Unit = { offsets += out.size(); w(s"$num 0 obj\n") }
+    w("%PDF-1.4\n")
+    beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    beginObj(2); w("<< /Type /Pages /Kids [ 4 0 R ] /Count 1 >>\nendobj\n")
+    beginObj(3)
+    w("<< /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H " +
+      "/Encoding /Identity-H /ToUnicode 6 0 R >>\nendobj\n")
+    beginObj(4)
+    w("<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+      "/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>\nendobj\n")
+    val content = s"BT\n/F1 12 Tf\n72 720 Td\n<$hexCodes> Tj\nET\n".getBytes(ISO_8859_1)
+    beginObj(5)
+    w(s"<< /Length ${content.length} >>\nstream\n"); out.write(content); w("\nendstream\nendobj\n")
+    val cmapBytes = cmap.getBytes(ISO_8859_1)
+    beginObj(6)
+    w(s"<< /Length ${cmapBytes.length} >>\nstream\n"); out.write(cmapBytes); w("\nendstream\nendobj\n")
+    val xrefPos = out.size()
+    w("xref\n0 7\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** As build(), but the cross-reference is a PDF 1.5 xref STREAM (type-1
+    * entries, W [1 4 2], no classic table, trailer folded into the stream
+    * dict) — exercises the xref-stream fast path. */
+  def buildXrefStream(pages: Seq[Seq[String]], compress: Boolean = true): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    def beginObj(num: Int): Unit = { offsets += out.size(); w(s"$num 0 obj\n") }
+    w("%PDF-1.5\n")
+    val nPages = pages.length
+    val catalogNum = 1; val pagesNum = 2; val fontNum = 3
+    def pageNum(i: Int) = 4 + i
+    def contentNum(i: Int) = 4 + nPages + i
+    val xrefNum = 4 + 2 * nPages
+    beginObj(catalogNum); w(s"<< /Type /Catalog /Pages $pagesNum 0 R >>\nendobj\n")
+    beginObj(pagesNum)
+    val kids = (0 until nPages).map(i => s"${pageNum(i)} 0 R").mkString(" ")
+    w(s"<< /Type /Pages /Kids [ $kids ] /Count $nPages >>\nendobj\n")
+    beginObj(fontNum)
+    w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>\nendobj\n")
+    (0 until nPages).foreach { i =>
+      beginObj(pageNum(i))
+      w(s"<< /Type /Page /Parent $pagesNum 0 R /MediaBox [ 0 0 612 792 ] " +
+        s"/Resources << /Font << /F1 $fontNum 0 R >> >> /Contents ${contentNum(i)} 0 R >>\nendobj\n")
+    }
+    (0 until nPages).foreach { i =>
+      val content = contentFor(pages(i), useTJ = false)
+      val body = if (compress) deflate(content) else content
+      beginObj(contentNum(i))
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      w(s"<< /Length ${body.length}$filter >>\nstream\n")
+      out.write(body)
+      w("\nendstream\nendobj\n")
+    }
+    // xref stream object: entry 0 = free, then type-1 entries for 1..xrefNum
+    val xrefPos = out.size()
+    offsets += xrefPos
+    val entries = new ByteArrayOutputStream()
+    def entry(tpe: Int, f2: Int, f3: Int): Unit = {
+      entries.write(tpe)
+      entries.write((f2 >>> 24) & 0xFF); entries.write((f2 >>> 16) & 0xFF)
+      entries.write((f2 >>> 8) & 0xFF); entries.write(f2 & 0xFF)
+      entries.write((f3 >>> 8) & 0xFF); entries.write(f3 & 0xFF)
+    }
+    entry(0, 0, 0xFFFF)
+    offsets.foreach(o => entry(1, o, 0))
+    val data = entries.toByteArray
+    w(s"$xrefNum 0 obj\n<< /Type /XRef /Size ${xrefNum + 1} /W [ 1 4 2 ] " +
+      s"/Root $catalogNum 0 R /Length ${data.length} >>\nstream\n")
+    out.write(data)
+    w(s"\nendstream\nendobj\nstartxref\n$xrefPos\n%%EOF\n")
+    out.toByteArray
+  }
+
   private def contentFor(lines: Seq[String], useTJ: Boolean): Array[Byte] = {
     val sb = new StringBuilder
     if (lines.nonEmpty) {

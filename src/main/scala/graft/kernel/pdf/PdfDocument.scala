@@ -103,6 +103,11 @@ final class PdfDocument private (objects: Map[(Int, Int), Obj], buf: Array[Byte]
       case d: PDict if d.get("Type").contains(PName("Catalog")) => d
     }
 
+  /** Sanity gate for the xref fast path: a catalog and at least one page
+    * must be reachable, else the xref is not to be trusted. */
+  private[pdf] def looksValid: Boolean =
+    findRoot().isDefined && pages.nonEmpty
+
   /** Concatenated decoded content streams of one page. */
   def pageContent(page: PDict): Array[Byte] = {
     val parts: Seq[Array[Byte]] = dictGet(page, "Contents") match {
@@ -119,8 +124,51 @@ final class PdfDocument private (objects: Map[(Int, Int), Obj], buf: Array[Byte]
     }
   }
 
-  /** Extracted text per page (layout-ordered). */
-  def pageTexts: Seq[String] = pages.map(p => TextInterp.extract(pageContent(p)))
+  // --------------------------------------------------------------- fonts
+  private val fontCache = new java.util.IdentityHashMap[PDict, Fonts.FontDecoder]()
+
+  private def fontFor(d: PDict): Fonts.FontDecoder = {
+    val cached = fontCache.get(d)
+    if (cached != null || fontCache.containsKey(d)) cached
+    else {
+      val built = try Fonts.fromDict(d, resolve(_), decodeStream) catch { case _: Throwable => null }
+      fontCache.put(d, built)
+      built
+    }
+  }
+
+  /** /Resources /Font of a page, walking inherited /Parent resources. */
+  def pageFonts(page: PDict): Map[String, Fonts.FontDecoder] = {
+    var node: Obj = page
+    var depth = 0
+    while (depth < 16) {
+      node match {
+        case d: PDict =>
+          dictGet(d, "Resources") match {
+            case r: PDict =>
+              dictGet(r, "Font") match {
+                case f: PDict =>
+                  return f.v.keysIterator.flatMap { name =>
+                    resolve(f.v(name)) match {
+                      case fd: PDict => Option(fontFor(fd)).map(name -> _)
+                      case _ => None
+                    }
+                  }.toMap
+                case _ =>
+              }
+            case _ =>
+          }
+          node = resolve(d.get("Parent").getOrElse(PNull))
+        case _ => return Map.empty
+      }
+      depth += 1
+    }
+    Map.empty
+  }
+
+  /** Extracted text per page (layout-ordered, font-aware decode). */
+  def pageTexts: Seq[String] =
+    pages.map(p => TextInterp.extract(pageContent(p), pageFonts(p)))
 }
 
 object PdfDocument {
@@ -129,44 +177,208 @@ object PdfDocument {
     bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' &&
       bytes(3) == 'F' && bytes(4) == '-'
 
-  /** Load a document; never throws. Brute-scans `N G obj` sites (robust to
-    * broken xref — later objects override earlier, matching incremental
-    * update semantics), then expands object streams. */
-  def load(bytes: Array[Byte]): Option[PdfDocument] = {
+  final case class LoadInfo(method: String, objectsParsed: Int)
+
+  /** Load a document; never throws. Fast path: follow startxref into the
+    * xref table / xref-stream chain (PDF 1.5+) and parse only the objects
+    * the xref records — O(objects), not O(file bytes). Fallback: brute-scan
+    * every `N G obj` site (robust to corrupt xref — later objects override
+    * earlier, matching incremental-update semantics). Both paths then
+    * expand object streams. */
+  def load(bytes: Array[Byte]): Option[PdfDocument] = loadWithInfo(bytes).map(_._1)
+
+  def loadWithInfo(bytes: Array[Byte]): Option[(PdfDocument, LoadInfo)] = {
     try {
       if (!isPdf(bytes)) return None
+      // 1. xref fast path, validated before trust: a doc with no resolvable
+      //    catalog or pages means the xref lied — fall back to the scan.
+      val fast =
+        try {
+          xrefObjects(bytes).flatMap { objs =>
+            if (objs.isEmpty) None
+            else {
+              val doc = expandObjStm(objs, bytes)
+              if (doc.looksValid) Some((doc, LoadInfo("xref", objs.size))) else None
+            }
+          }
+        } catch { case _: Throwable => None }
+      if (fast.isDefined) return fast
+      // 2. brute scan fallback
       val objs = mutable.LinkedHashMap.empty[(Int, Int), Obj]
       scanObjects(bytes, objs)
       if (objs.isEmpty) return None
-      // expand ObjStm (compressed object streams)
-      val doc0 = new PdfDocument(objs.toMap, bytes)
-      val extra = mutable.LinkedHashMap.empty[(Int, Int), Obj]
-      objs.values.foreach {
-        case s @ PStream(d, _) if d.get("Type").contains(PName("ObjStm")) =>
-          doc0.decodeStream(s).foreach { data =>
-            val nObjs = doc0.resolve(d.get("N").getOrElse(PNull)) match { case PNum(v) => v.toInt; case _ => 0 }
-            val first = doc0.resolve(d.get("First").getOrElse(PNull)) match { case PNum(v) => v.toInt; case _ => 0 }
-            val lex = new Lexer(data)
-            val pairs = (0 until math.min(nObjs, 50000)).map { _ =>
-              val num = lex.readToken(); val off = lex.readToken()
-              (num, off)
-            }
-            pairs.foreach { case (numS, offS) =>
-              try {
-                val num = numS.toInt; val off = offS.toInt
-                if (first + off >= 0 && first + off < data.length) {
-                  val l2 = new Lexer(data, first + off)
-                  extra.getOrElseUpdate((num, 0), l2.parseObj())
-                }
-              } catch { case _: NumberFormatException => }
+      Some((expandObjStm(objs, bytes), LoadInfo("scan", objs.size)))
+    } catch { case _: Throwable => None }
+  }
+
+  /** Expand ObjStm (compressed object streams) into the object table. */
+  private def expandObjStm(objs: mutable.LinkedHashMap[(Int, Int), Obj],
+                           bytes: Array[Byte]): PdfDocument = {
+    val doc0 = new PdfDocument(objs.toMap, bytes)
+    val extra = mutable.LinkedHashMap.empty[(Int, Int), Obj]
+    objs.values.foreach {
+      case s @ PStream(d, _) if d.get("Type").contains(PName("ObjStm")) =>
+        doc0.decodeStream(s).foreach { data =>
+          val nObjs = doc0.resolve(d.get("N").getOrElse(PNull)) match { case PNum(v) => v.toInt; case _ => 0 }
+          val first = doc0.resolve(d.get("First").getOrElse(PNull)) match { case PNum(v) => v.toInt; case _ => 0 }
+          val lex = new Lexer(data)
+          val pairs = (0 until math.min(nObjs, 50000)).map { _ =>
+            val num = lex.readToken(); val off = lex.readToken()
+            (num, off)
+          }
+          pairs.foreach { case (numS, offS) =>
+            try {
+              val num = numS.toInt; val off = offS.toInt
+              if (first + off >= 0 && first + off < data.length) {
+                val l2 = new Lexer(data, first + off)
+                extra.getOrElseUpdate((num, 0), l2.parseObj())
+              }
+            } catch { case _: NumberFormatException => }
+          }
+        }
+      case _ =>
+    }
+    // top-level objects win over ObjStm-extracted on collision
+    val merged = extra.toMap ++ objs.toMap
+    new PdfDocument(merged, bytes)
+  }
+
+  // ------------------------------------------------------------- xref walk
+  /** Parse the xref chain (classic tables and /Type /XRef streams, /Prev and
+    * hybrid /XRefStm links) and load exactly the recorded objects. */
+  private def xrefObjects(buf: Array[Byte]): Option[mutable.LinkedHashMap[(Int, Int), Obj]] = {
+    val start = findStartXref(buf).getOrElse(return None)
+    // newest-first chain walk; first entry per object number wins (free
+    // entries shadow older offsets, matching incremental-update semantics)
+    val seen = mutable.HashSet.empty[Int]
+    val offsets = mutable.ArrayBuffer.empty[(Int, Int, Int)] // (num, gen, offset)
+    val queue = mutable.Queue(start)
+    val visited = mutable.HashSet.empty[Int]
+    val tmpDoc = new PdfDocument(Map.empty, buf) // direct-value stream decode
+    var hops = 0
+    while (queue.nonEmpty && hops < 64) {
+      hops += 1
+      val off = queue.dequeue()
+      if (off >= 0 && off < buf.length && visited.add(off)) {
+        val lex = new Lexer(buf, off)
+        lex.skipWs()
+        if (peekKeyword(buf, lex.pos, "xref")) {
+          lex.pos += 4
+          // classic table: sections of "start count" + 20-byte entries
+          var inTable = true
+          while (inTable) {
+            lex.skipWs()
+            if (lex.pos >= lex.n || peekKeyword(buf, lex.pos, "trailer")) {
+              inTable = false
+            } else {
+              val startNum = lex.readToken().toInt
+              val count = lex.readToken().toInt
+              if (count < 0 || count > 5000000) throw new IllegalStateException("bad xref count")
+              var i = 0
+              while (i < count) {
+                val o = lex.readToken()
+                val g = lex.readToken()
+                val t = lex.readToken()
+                val num = startNum + i
+                if (seen.add(num) && t == "n") offsets += ((num, g.toInt, o.toInt))
+                i += 1
+              }
             }
           }
-        case _ =>
+          lex.skipWs()
+          if (peekKeyword(buf, lex.pos, "trailer")) {
+            lex.pos += 7
+            lex.parseObj() match {
+              case d: PDict =>
+                d.get("Prev").foreach { case PNum(p) => queue += p.toInt; case _ => }
+                d.get("XRefStm").foreach { case PNum(p) => queue += p.toInt; case _ => }
+              case _ =>
+            }
+          }
+        } else {
+          // xref stream: "num gen obj << /Type /XRef ... >> stream"
+          lex.readToken(); lex.readToken()
+          if (lex.readToken() != "obj") throw new IllegalStateException("not an obj at startxref")
+          lex.parseObj() match {
+            case s @ PStream(d, _) if d.get("Type").contains(PName("XRef")) =>
+              val data = tmpDoc.decodeStream(s).getOrElse(throw new IllegalStateException("xref stream decode"))
+              val w = d.get("W") match {
+                case Some(PArr(ws)) => ws.map { case PNum(v) => v.toInt; case _ => 0 }
+                case _ => throw new IllegalStateException("no W")
+              }
+              if (w.length < 3) throw new IllegalStateException("short W")
+              val size = d.get("Size") match { case Some(PNum(v)) => v.toInt; case _ => 0 }
+              val index: Seq[(Int, Int)] = d.get("Index") match {
+                case Some(PArr(ix)) =>
+                  ix.map { case PNum(v) => v.toInt; case _ => 0 }.grouped(2)
+                    .collect { case Seq(a, b) => (a, b) }.toSeq
+                case _ => Seq((0, size))
+              }
+              val stride = w.sum
+              var pos = 0
+              index.foreach { case (first, count) =>
+                var i = 0
+                while (i < count && pos + stride <= data.length) {
+                  def field(k: Int): Long = {
+                    var v = 0L
+                    val from = pos + w.take(k).sum
+                    (0 until w(k)).foreach(j => v = (v << 8) | (data(from + j) & 0xFF))
+                    v
+                  }
+                  val tpe = if (w(0) == 0) 1L else field(0)
+                  val f2 = field(1)
+                  val num = first + i
+                  if (seen.add(num) && tpe == 1L) offsets += ((num, 0, f2.toInt))
+                  // tpe == 2 (in ObjStm): the container is itself a type-1
+                  // entry somewhere in the chain; ObjStm expansion covers it
+                  pos += stride
+                  i += 1
+                }
+              }
+              d.get("Prev").foreach { case PNum(p) => queue += p.toInt; case _ => }
+            case _ => throw new IllegalStateException("startxref target not an XRef stream")
+          }
+        }
       }
-      // brute-scanned top-level objects win over ObjStm-extracted on collision
-      val merged = extra.toMap ++ objs.toMap
-      Some(new PdfDocument(merged, bytes))
-    } catch { case _: Throwable => None }
+    }
+    if (offsets.isEmpty) return None
+    val objs = mutable.LinkedHashMap.empty[(Int, Int), Obj]
+    offsets.sortBy(_._3).foreach { case (num, gen, off) =>
+      if (off >= 0 && off < buf.length) {
+        try {
+          val lex = new Lexer(buf, off)
+          val numTok = lex.readToken()
+          lex.readToken() // gen
+          if (lex.readToken() == "obj" && numTok.toInt == num)
+            objs((num, gen)) = lex.parseObj()
+        } catch { case _: Exception => }
+      }
+    }
+    Some(objs)
+  }
+
+  private def peekKeyword(buf: Array[Byte], at: Int, kw: String): Boolean = {
+    if (at + kw.length > buf.length) return false
+    var i = 0
+    while (i < kw.length) {
+      if (buf(at + i) != kw.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  private def findStartXref(buf: Array[Byte]): Option[Int] = {
+    val from = math.max(0, buf.length - 2048)
+    var i = buf.length - 9
+    while (i >= from) {
+      if (peekKeyword(buf, i, "startxref")) {
+        val lex = new Lexer(buf, i + 9)
+        val tok = lex.readToken()
+        return try Some(tok.toInt) catch { case _: NumberFormatException => None }
+      }
+      i -= 1
+    }
+    None
   }
 
   private def scanObjects(buf: Array[Byte], out: mutable.LinkedHashMap[(Int, Int), Obj]): Unit = {

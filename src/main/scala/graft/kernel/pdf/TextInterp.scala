@@ -41,8 +41,12 @@ object TextInterp {
     else new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
   }
 
-  /** Extract layout-ordered text from one decoded content stream. */
-  def extract(content: Array[Byte]): String = {
+  /** Extract layout-ordered text from one decoded content stream.
+    * `fonts` maps /Resources font names (e.g. "F1") to decoders built from
+    * /Encoding /Differences / /ToUnicode (Fonts.fromDict); strings shown
+    * under a font without decode info use the legacy latin-1/BOM decode. */
+  def extract(content: Array[Byte],
+              fonts: Map[String, Fonts.FontDecoder] = Map.empty): String = {
     if (content.isEmpty) return ""
     val runs = mutable.ArrayBuffer.empty[Run]
     val lex = new Lexer(content)
@@ -54,10 +58,13 @@ object TextInterp {
     var tlm: Mat = matIdentity
     var leading = 0.0
     var fontSize = 1.0
+    var curFont: Fonts.FontDecoder = null
     var seq = 0
     var inText = false
 
     def num(o: Obj): Double = o match { case PNum(v) => v; case _ => 0.0 }
+    def dec(b: Array[Byte]): String =
+      if (curFont != null) curFont.decode(b) else decodeString(b)
 
     def emit(s: String): Unit = {
       if (s.nonEmpty) {
@@ -91,7 +98,12 @@ object TextInterp {
             op match {
               case "BT" => inText = true; tm = matIdentity; tlm = matIdentity
               case "ET" => inText = false
-              case "Tf" => if (operands.nonEmpty) fontSize = num(operands.last)
+              case "Tf" =>
+                if (operands.nonEmpty) fontSize = num(operands.last)
+                if (operands.length >= 2) operands(operands.length - 2) match {
+                  case PName(f) => curFont = fonts.getOrElse(f, null)
+                  case _ =>
+                }
               case "TL" => if (operands.nonEmpty) leading = num(operands.last)
               case "Td" if operands.length >= 2 =>
                 td(num(operands(operands.length - 2)), num(operands.last))
@@ -104,20 +116,20 @@ object TextInterp {
               case "T*" => td(0, -leading)
               case "Tj" =>
                 operands.lastOption match {
-                  case Some(PStr(b)) => emit(decodeString(b))
+                  case Some(PStr(b)) => emit(dec(b))
                   case _ =>
                 }
               case "'" =>
                 td(0, -leading)
                 operands.lastOption match {
-                  case Some(PStr(b)) => emit(decodeString(b))
+                  case Some(PStr(b)) => emit(dec(b))
                   case _ =>
                 }
               case "\"" =>
                 // aw ac string "
                 td(0, -leading)
                 operands.lastOption match {
-                  case Some(PStr(b)) => emit(decodeString(b))
+                  case Some(PStr(b)) => emit(dec(b))
                   case _ =>
                 }
               case "TJ" =>
@@ -125,7 +137,7 @@ object TextInterp {
                   case Some(PArr(items)) =>
                     val sb = new java.lang.StringBuilder
                     items.foreach {
-                      case PStr(b) => sb.append(decodeString(b))
+                      case PStr(b) => sb.append(dec(b))
                       case PNum(adj) if adj < KernSpaceThreshold =>
                         if (sb.length > 0 && sb.charAt(sb.length - 1) != ' ') sb.append(' ')
                       case _ =>

@@ -76,6 +76,73 @@ class PdfSpec extends AnyFunSuite {
     assert(text === Some("abcd"))
   }
 
+  test("font /Differences remaps byte codes through the glyph list") {
+    // codes: 0x80 -> eacute, 0x81 -> adieresis, 0x82 -> emdash, ASCII around
+    val coded = Array[Byte]('c', 'a', 'f', 0x80.toByte, ' ', 0x81.toByte,
+      ' ', 'b', 0x82.toByte, 'c')
+    val pdf = MiniPdf.buildWithDifferences(coded, "128 /eacute /adieresis /emdash")
+    assert(PdfExtract.extractText(pdf) === Some("café ä b—c\n"))
+  }
+
+  test("font /Differences: uniXXXX names and re-pointed code runs") {
+    val coded = Array[Byte](0x41, 0x20.toByte, 0xA0.toByte, 0xA1.toByte)
+    val pdf = MiniPdf.buildWithDifferences(coded, "160 /uni20AC /oe")
+    assert(PdfExtract.extractText(pdf) === Some("A €œ\n"))
+  }
+
+  test("Type0 + Identity-H + /ToUnicode CMap decodes 2-byte codes (incl. bfrange)") {
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |12 dict begin begincmap
+        |1 begincodespacerange <0000> <FFFF> endcodespacerange
+        |2 beginbfchar
+        |<0001> <0048>
+        |<0002> <00E9>
+        |endbfchar
+        |1 beginbfrange
+        |<0010> <0012> <0061>
+        |endbfrange
+        |endcmap end end""".stripMargin
+    // codes: 0001 (H), 0002 (é), 0010 0011 0012 (a b c)
+    val pdf = MiniPdf.buildWithToUnicode("00010002001000110012", cmap)
+    assert(PdfExtract.extractText(pdf) === Some("Héabc\n"))
+  }
+
+  test("ToUnicode bfchar with multi-code-unit target (ligature expansion)") {
+    val cmap =
+      """1 begincodespacerange <0000> <FFFF> endcodespacerange
+        |1 beginbfchar
+        |<0005> <00660069>
+        |endbfchar""".stripMargin
+    val pdf = MiniPdf.buildWithToUnicode("0005", cmap)
+    assert(PdfExtract.extractText(pdf) === Some("fi\n"))
+  }
+
+  test("xref fast path is taken on valid files, scan on corrupt xref, same text") {
+    val pdf = MiniPdf.build(Seq(Seq("fast path line one", "and line two")))
+    val (doc, info) = PdfDocument.loadWithInfo(pdf).get
+    assert(info.method === "xref", s"expected xref path, got $info")
+    assert(info.objectsParsed > 0)
+    val fastText = doc.pageTexts
+
+    // corrupt the startxref offset -> must fall back to brute scan, same text
+    val s = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val idx = s.lastIndexOf("startxref")
+    val corrupted = (s.substring(0, idx) + "startxref\n9999999\n%%EOF\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val (doc2, info2) = PdfDocument.loadWithInfo(corrupted).get
+    assert(info2.method === "scan")
+    assert(doc2.pageTexts === fastText)
+  }
+
+  test("PDF 1.5 xref STREAM parses via the fast path") {
+    val pdf = MiniPdf.buildXrefStream(Seq(Seq("xref stream page"), Seq("second page")))
+    val (doc, info) = PdfDocument.loadWithInfo(pdf).get
+    assert(info.method === "xref", s"expected xref-stream path, got $info")
+    assert(doc.pageTexts === Seq("xref stream page\n", "second page\n"))
+    assert(PdfExtract.extractText(pdf) === Some("xref stream page\n\n\nsecond page\n"))
+  }
+
   test("non-PDF and corrupt inputs return None, never throw") {
     assert(PdfExtract.extractText("not a pdf".getBytes) === None)
     assert(PdfExtract.extractText(Array.emptyByteArray) === None)
