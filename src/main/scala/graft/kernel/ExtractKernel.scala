@@ -63,6 +63,27 @@ object ExtractKernel {
     "other"
   }
 
+  /** Declared charset from `<meta charset=..>`, `<meta http-equiv=..
+    * content="..;charset=..">` or `<?xml encoding=..?>` in the first 1024
+    * bytes (the prefix is ASCII-compatible in every charset we honor).
+    * Used ONLY by the text_main path: extracted_text stays reference-exact
+    * (the reference never sniffed charsets — utf-8 then latin-1,
+    * src/processor.py:656-660). */
+  private val CharsetAttr = "charset\\s*=\\s*[\"']?([a-zA-Z0-9_\\-]+)".r
+  private val XmlEncAttr = "encoding\\s*=\\s*[\"']([a-zA-Z0-9_\\-]+)[\"']".r
+
+  def sniffCharset(bytes: Array[Byte]): Option[java.nio.charset.Charset] = {
+    val n = math.min(bytes.length, 1024)
+    if (n == 0) return None
+    val head = new String(bytes, 0, n, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .toLowerCase(java.util.Locale.ROOT)
+    CharsetAttr.findFirstMatchIn(head).orElse(XmlEncAttr.findFirstMatchIn(head))
+      .flatMap { m =>
+        try Some(java.nio.charset.Charset.forName(m.group(1)))
+        catch { case _: Exception => None }
+      }
+  }
+
   @inline private def isLetter(b: Byte): Boolean =
     (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')
 
@@ -102,13 +123,28 @@ object ExtractKernel {
         case "html" =>
           // one decode + newline translation shared by the reference-exact
           // raw path (T3, text-mode open semantics) and the main-content path
+          val utf8 = TextKernel.decodeUtf8Strict(bytes)
           val translated = TextKernel.translateNewlines(
-            TextKernel.decodeUtf8Strict(bytes).getOrElse(TextKernel.decodeLatin1(bytes)))
+            utf8.getOrElse(TextKernel.decodeLatin1(bytes)))
           val raw = cfg.maxTextLength match {
             case None => if (TextKernel.hasContent(translated)) translated else null
             case Some(_) => TextKernel.extractTextFromFile(bytes, cfg).orNull // capped: full T3 semantics
           }
-          val mc = MainContent.extract(translated)
+          // text_main honors a declared charset when the page is not valid
+          // UTF-8 (windows-1251/shift_jis pages would otherwise garble);
+          // extracted_text above is untouched — reference-exact by contract
+          val mainInput = utf8 match {
+            case Right(_) => translated
+            case Left(_) =>
+              sniffCharset(bytes) match {
+                case Some(cs) if cs != java.nio.charset.StandardCharsets.UTF_8 &&
+                  cs != java.nio.charset.StandardCharsets.ISO_8859_1 =>
+                  try TextKernel.translateNewlines(new String(bytes, cs))
+                  catch { case _: Throwable => translated }
+                case _ => translated
+              }
+          }
+          val mc = MainContent.extract(mainInput)
           val main = if (TextKernel.hasContent(mc.text)) mc.text else null
           val spans = mc.spans.iterator.map(s => Span(s.kind, s.start, s.end)).toArray
           val title = if (mc.title.nonEmpty) mc.title else null

@@ -108,12 +108,23 @@ object Extract {
 
     // single action: write the data files (error column stays with the data,
     // so one pass covers both success and quarantine rows), then publish the
-    // manifest with the accumulator-observed metrics and flip the pointer.
-    val (version, snapDir) = table.writeData(extracted.toDF())
+    // manifest and flip the pointer. Committed row metrics are derived from
+    // the WRITTEN snapshot, not the accumulators: Spark does not deduplicate
+    // transformation-stage accumulator updates, so task retries/speculation
+    // would double-count them. bytes_in has no output-side equivalent and
+    // stays accumulator-observed (approximate under retries, documented).
+    val outDf = extracted.toDF()
+    val (version, snapDir) = table.writeData(outDf)
+    // explicit schema: a no-op snapshot writes zero part files and schema
+    // inference would fail on the empty directory
+    val counts = spark.read.schema(outDf.schema).parquet(snapDir)
+      .agg(count(lit(1)), count(when(col("error").isNull, lit(1))))
+      .collect()(0)
+    val (written, ok) = (counts.getLong(0), counts.getLong(1))
     val metrics = Map[String, Long](
-      "input" -> (docsOk.value + docsFailed.value),
-      "extracted" -> docsOk.value.toLong,
-      "failed" -> docsFailed.value.toLong,
+      "input" -> written,
+      "extracted" -> ok,
+      "failed" -> (written - ok),
       "bytes_in" -> bytesIn.value.toLong)
     import scala.jdk.CollectionConverters._
     val lineageRows = partStats.value.asScala.toSeq.sortBy(_._1).map {
@@ -121,8 +132,7 @@ object Extract {
         Map[String, Long]("partition" -> pid.toLong, "docs" -> docs, "ms" -> ms)
     }
     table.commitManifest(version, snapDir, metrics, lineage = lineageRows)
-    Metrics(version, docsOk.value + docsFailed.value, docsOk.value,
-      docsFailed.value, bytesIn.value)
+    Metrics(version, written, ok, written - ok, bytesIn.value)
   }
 
   /** Quarantined rows of the current snapshot (K2 semantics): every failed

@@ -45,6 +45,35 @@ class GoldenCorpusSpec extends AnyFunSuite {
     info(s"verified $nonEmpty non-empty texts, $checkedBytes chars byte-exact")
   }
 
+  test("text_main honors declared <meta charset>; extracted_text stays reference-exact") {
+    def page(charset: String, body: String): Array[Byte] = {
+      val html = s"""<!DOCTYPE html><html><head><meta charset="$charset"><title>t</title></head>
+                    |<body><main><p>$body $body $body common filler words enough for density</p>
+                    |<p>$body more words to keep the classifier confident about body text</p></main>
+                    |</body></html>""".stripMargin
+      html.getBytes(java.nio.charset.Charset.forName(charset))
+    }
+    // windows-1251 Cyrillic
+    val ru = "привет мир это содержание статьи"
+    val docRu = ExtractKernel.extractOne("u1", page("windows-1251", ru), 0, 0)
+    assert(docRu.text_main != null && docRu.text_main.contains("привет"),
+      s"cyrillic lost: ${docRu.text_main}")
+    // the reference-exact column must contain the latin-1 mojibake, not the fix
+    assert(docRu.extracted_text != null && !docRu.extracted_text.contains("привет"))
+
+    // shift_jis Japanese
+    val ja = "これは記事の本文です"
+    val docJa = ExtractKernel.extractOne("u2", page("shift_jis", ja), 0, 0)
+    assert(docJa.text_main != null && docJa.text_main.contains("記事"),
+      s"japanese lost: ${docJa.text_main}")
+
+    // a LYING charset declaration on valid utf-8 must not damage anything
+    val utf8Bytes = new String(page("windows-1251", "plain ascii body"),
+      java.nio.charset.Charset.forName("windows-1251")).getBytes("UTF-8")
+    val docOk = ExtractKernel.extractOne("u3", utf8Bytes, 0, 0)
+    assert(docOk.text_main != null && docOk.text_main.contains("plain ascii body"))
+  }
+
   test("html rows also produce main content with valid spans") {
     var mains = 0
     (0 until 200).foreach { i =>
