@@ -64,6 +64,11 @@ object SparkEntry {
   private val Ws = """[ \t\n\x0B\f\r]"""
   private val NonWs = """[^ \t\n\x0B\f\r]"""
 
+  // GPT-2-ish piece pattern without lookahead (RE2 has none): contractions,
+  // optional-space letter runs, digit runs, punctuation runs, whitespace runs.
+  private val BpeishPattern =
+    """'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- T6 sanitize as a native codegen'd Catalyst expression -----
     "q_sanitize" -> ((s, dir) => {
@@ -264,6 +269,46 @@ object SparkEntry {
           size(array_union(col("a.grams"), col("b.grams"))).as("union_cnt"))
         .orderBy("id_a")
     }),
+    // ----- embedding-cosine near-dup: planted scaled copies (a positive
+    //       scale preserves direction => cosine ~1 and, for the LSH variant,
+    //       the exact same sign-LSH bucket). Brute all-pairs version is the
+    //       recall baseline; both are oracled (only planted pairs can reach
+    //       the 0.999 threshold on near-orthogonal random embeddings). -----
+    "q_embed_neardup" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val base = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val scaled = emb.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x.cast("double") * lit(1.5)).as("embedding"))
+      val corpus = base.unionByName(scaled)
+      corpus.as("a").join(corpus.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          graft.operators.Similarity.cosine(col("a.embedding"), col("b.embedding")).as("sim"))
+        .filter(col("sim") >= 0.999)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")
+    }),
+    // ----- the LSH-bucketed scale path: same planted truth, no all-pairs -----
+    "q_embed_neardup_lsh" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val emb = tbl(s, dir, "embeddings")
+      val base = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val scaled = emb.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x.cast("double") * lit(1.5)).as("embedding"))
+      graft.operators.Dedup.embeddingNearDupPairs(
+        base.unionByName(scaled), "vec_id", "embedding", threshold = 0.999)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")
+    }),
+    // ----- BPE-ish regex token count (GPT-2-style pieces, lookahead-free
+    //       so the pattern is Java/RE2-identical) -----
+    "q_token_bpe" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(BpeishPattern), lit(0))).as("n_pieces"))
+        .orderBy("doc_id")
+    }),
     // ----- ANN: brute-force cosine top-k (codegen'd HOF dot product) -----
     "q_ann_topk" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
@@ -377,6 +422,19 @@ object SparkEntry {
     })
   )
 
+  // Planted-dup cosine oracle shared by the brute and LSH variants: scaled
+  // copies are the only pairs that can reach 0.999 on near-orthogonal
+  // random embeddings, and positive scaling cannot change a sign-LSH bucket,
+  // so the LSH candidate set provably contains every qualifying pair.
+  private lazy val embedNearDupOracle: String = {
+    def dotD(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    """WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings), """ +
+      """scaled AS (SELECT vec_id + 1000000 AS vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.5) AS embedding FROM embeddings WHERE vec_id % 50 = 0), """ +
+      """c AS (SELECT * FROM base UNION ALL SELECT * FROM scaled) """ +
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM c a, c b WHERE a.vec_id < b.vec_id AND ${dotD("a.embedding", "b.embedding")} / (sqrt(${dotD("a.embedding", "a.embedding")}) * sqrt(${dotD("b.embedding", "b.embedding")}) + 1e-12) >= 0.999 ORDER BY id_a, id_b"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_dedup_keepers" ->
       "SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text) ORDER BY keep_id",
@@ -446,6 +504,10 @@ object SparkEntry {
       """FROM documents ORDER BY media_id"""),
     "q_extract_text" ->
       "SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, 'other' AS doc_type, text AS extracted_text FROM documents ORDER BY url",
+    "q_embed_neardup" -> embedNearDupOracle,
+    "q_embed_neardup_lsh" -> embedNearDupOracle,
+    "q_token_bpe" ->
+      s"""SELECT doc_id, len(regexp_extract_all(text, '${BpeishPattern.replace("'", "''")}')) AS n_pieces FROM documents ORDER BY doc_id""",
     "q_ngram_jaccard" ->
       s"""WITH g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams FROM (SELECT doc_id, regexp_extract_all(lower(text), '$NonWs+') AS w FROM documents) WHERE len(w) >= 3) SELECT a.doc_id AS id_a, b.doc_id AS id_b, len(list_intersect(a.grams, b.grams)) AS inter_cnt, len(list_distinct(list_concat(a.grams, b.grams))) AS union_cnt FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id < 50 ORDER BY id_a""",
     "q_lang_id" ->

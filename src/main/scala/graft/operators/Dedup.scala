@@ -358,6 +358,45 @@ object Dedup {
       .toDF("id_a", "id_b", "jaccard")
   }
 
+  // ------------------------------------------------- embedding-cosine dedup
+  /**
+   * Embedding-cosine near-duplicate pairs, the 100 TB shape: vectors are
+   * bucketed by sign-LSH (a pure projection — positive scaling of a vector
+   * cannot change its bucket), candidate pairs form only within a bucket
+   * (+ multiprobe single-bit flips on one side), and candidates are verified
+   * with an exact double-precision cosine. The corpus never self-joins
+   * all-pairs; the shuffle key is the bucket.
+   */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, bits: Int = 8, dim: Int = 64,
+                            seed: Long = 42L, probes: Int = 2)
+                           (implicit spark: SparkSession): DataFrame = {
+    import graft.operators.Similarity
+    val planes = Similarity.hyperplanes(bits, dim, seed)
+    val bPlanes = spark.sparkContext.broadcast(planes)
+    val bucketOf = udf((v: Seq[Double]) =>
+      if (v == null) -1 else Similarity.lshBucket(v.map(_.toFloat).toArray, bPlanes.value))
+    val probesOf = udf((v: Seq[Double]) => {
+      if (v == null) Array(-1)
+      else {
+        val b = Similarity.lshBucket(v.map(_.toFloat).toArray, bPlanes.value)
+        (Seq(b) ++ (0 until math.min(probes, bits)).map(i => b ^ (1 << i))).toArray
+      }
+    })
+    val base = emb.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    val left = base.select(col("id").as("id_a"), col("vec").as("vec_a"),
+      explode(probesOf(col("vec"))).as("bucket"))
+    val right = base.select(col("id").as("id_b"), col("vec").as("vec_b"),
+      bucketOf(col("vec")).as("bucket"))
+    left.join(right, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", Similarity.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+      .dropDuplicates("id_a", "id_b")
+  }
+
   // --------------------------------------------------------------- simhash
   /** 64-bit SimHash over whitespace tokens (FNV token hash, unit weights). */
   def simHash64(text: String): Long = {

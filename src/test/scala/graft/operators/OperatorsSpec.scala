@@ -82,6 +82,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept === Set(1L, 10L, 20L))
   }
 
+  test("embedding near-dup: bucketed pairs recover planted scaled duplicates exactly") {
+    import spark.implicits._
+    def vec(seed: Int): Array[Double] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextGaussian())
+    }
+    val base = (0 until 40).map(i => (i.toLong, vec(i).toSeq))
+    val planted = (0 until 8).map(i => (1000L + i, vec(i).map(_ * 2.0).toSeq))
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding",
+      threshold = 0.999, bits = 8, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 8).map(i => (i.toLong, 1000L + i)).toSet
+    assert(pairs === expected, s"got $pairs")
+  }
+
   test("LSH bucket cap is not silent: degenerate corpus fires the drop counter") {
     import spark.implicits._
     val same = baseText(7)
