@@ -95,6 +95,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("embedding near-dup LSH plan joins on bucket — no cartesian product") {
+    val plan = planOf(SparkEntry.queries("q_embed_neardup_lsh")(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"LSH variant degenerated to all-pairs:\n$plan")
+    assert(plan.contains("bucket"), s"bucket join key missing:\n$plan")
+  }
+
+  test("kernel-over-testdata query prunes the documents scan to (doc_id, text)") {
+    val plan = planOf(SparkEntry.queries("q_extract_text")(spark, sf))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"),
+      s"unpruned columns leak into the scan: $readSchema")
+  }
+
   test("aggregates use partial (map-side) aggregation") {
     val plan = planOf(SparkEntry.queries("q_lang_stats")(spark, sf))
     // two HashAggregate nodes: partial + final
