@@ -89,6 +89,39 @@ class TextKernelSpec extends AnyFunSuite {
     assert(TextKernel.sanitize("ab\u0001c") === "abc")
   }
 
+  test("translateNewlines: universal-newline properties (no CR out, idempotent)") {
+    assert(TextKernel.translateNewlines("a\r\nb\rc\nd") === "a\nb\nc\nd")
+    assert(TextKernel.translateNewlines("tail\r") === "tail\n")
+    assert(TextKernel.translateNewlines("\r\r\n\r") === "\n\n\n")
+    val rnd = new scala.util.Random(5)
+    (1 to 300).foreach { _ =>
+      val s = (0 until rnd.nextInt(60)).map(_ => "ab\r\n\té".charAt(rnd.nextInt(6))).mkString
+      val t = TextKernel.translateNewlines(s)
+      assert(!t.contains('\r'), s"CR survived: ${t.map(_.toInt)}")
+      assert(TextKernel.translateNewlines(t) === t, "not idempotent")
+      assert(t.length <= s.length)
+      // char content modulo newlines is preserved
+      assert(t.filterNot(_ == '\n') === s.filterNot(c => c == '\n' || c == '\r'))
+    }
+  }
+
+  test("capped text-mode read counts translated chars and honors chunk semantics") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val cfg5 = TextKernel.Config(maxTextLength = Some(5))
+    // cap counts translated chars: a\r\nb\r\nc -> a\nb\nc, first 5 = "a\nb\nc"
+    assert(TextKernel.extractTextFromFile("a\r\nb\r\nc\r\nd".getBytes(UTF_8), cfg5)
+      === Some("a\nb\nc"))
+    // malformed byte beyond the 8 KiB chunk: capped read succeeds
+    val big = ("x" * 9000).getBytes(UTF_8) ++ Array(0xFF.toByte)
+    assert(TextKernel.extractTextFromFile(big, cfg5) === Some("xxxxx"))
+    // malformed byte inside the first chunk: latin-1 fallback even when the
+    // error is beyond the cap (chunk decoded eagerly, like CPython)
+    val small = ("y" * 100).getBytes(UTF_8) ++ Array(0xFF.toByte)
+    assert(TextKernel.extractTextFromFile(small, cfg5) === Some("yyyyy"))
+    assert(TextKernel.extractTextFromFile(small, TextKernel.defaultConfig)
+      === Some("y" * 100 + "ÿ"))
+  }
+
   test("truncate counts code points, not UTF-16 units (trap 1)") {
     val s = "ab\ud83d\ude00cd" // 5 code points, 6 UTF-16 units
     assert(TextKernel.truncate(s, Some(3)) === "ab\ud83d\ude00")

@@ -157,6 +157,29 @@ class PdfSpec extends AnyFunSuite {
     }
   }
 
+  test("ToUnicode CMap parser never throws on arbitrary bytes") {
+    val rnd = new scala.util.Random(13)
+    (1 to 200).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(500))(rnd.nextInt.toByte)
+      Fonts.parseToUnicodeCMap(junk) // must not throw
+    }
+    // half-valid fragments
+    Seq("beginbfchar <01>", "beginbfrange <00> <FF>", "<0001> beginbfchar",
+      "1 beginbfrange <10> <05> <0041> endbfrange").foreach { s =>
+      Fonts.parseToUnicodeCMap(s.getBytes("ISO-8859-1"))
+    }
+  }
+
+  test("glyph name mapping: AGL subset, uniXXXX forms, unknown -> None") {
+    assert(Fonts.glyphToUnicode("eacute") === Some("é"))
+    assert(Fonts.glyphToUnicode("seven") === Some("7"))
+    assert(Fonts.glyphToUnicode("uni0041") === Some("A"))
+    assert(Fonts.glyphToUnicode("uni00480069") === Some("Hi"))
+    assert(Fonts.glyphToUnicode("u1F600") === Some(new String(Character.toChars(0x1F600))))
+    assert(Fonts.glyphToUnicode("g123") === None)
+    assert(Fonts.glyphToUnicode("notaglyphname") === None)
+  }
+
   test("extractPage (T2): single page text, blank -> None") {
     val pdf = MiniPdf.build(Seq(Seq("first"), Seq(), Seq("third")))
     assert(PdfExtract.extractPage(pdf, 0) === Some("first\n"))
