@@ -275,26 +275,33 @@ object SparkEntry {
     //       recall baseline; both are oracled (only planted pairs can reach
     //       the 0.999 threshold on near-orthogonal random embeddings). -----
     "q_embed_neardup" -> ((s, dir) => {
-      val emb = tbl(s, dir, "embeddings")
+      // brute recall baseline on a bounded slice (vec_id % 4): all-pairs at
+      // full scale is exactly what the LSH path below exists to avoid.
+      // Norms are precomputed per ROW (sqrt(dot(v,v)) is a deterministic
+      // function of the row, so the per-pair cosine is the same IEEE value
+      // the oracle computes inline — but 3x cheaper).
+      val emb = tbl(s, dir, "embeddings").filter(col("vec_id") % 4 === 0)
       val base = emb.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("embedding"))
-      val scaled = emb.filter(col("vec_id") % 50 === 0)
+      val scaled = emb.filter(col("vec_id") % 100 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"),
           transform(col("embedding"), x => x.cast("double") * lit(1.5)).as("embedding"))
       val corpus = base.unionByName(scaled)
+        .withColumn("nrm", graft.operators.Similarity.norm(col("embedding")))
       corpus.as("a").join(corpus.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          graft.operators.Similarity.cosine(col("a.embedding"), col("b.embedding")).as("sim"))
+          (graft.operators.Similarity.dot(col("a.embedding"), col("b.embedding"))
+            / (col("a.nrm") * col("b.nrm") + lit(1e-12))).as("sim"))
         .filter(col("sim") >= 0.999)
         .select("id_a", "id_b").orderBy("id_a", "id_b")
     }),
     // ----- the LSH-bucketed scale path: same planted truth, no all-pairs -----
     "q_embed_neardup_lsh" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val emb = tbl(s, dir, "embeddings")
+      val emb = tbl(s, dir, "embeddings").filter(col("vec_id") % 4 === 0)
       val base = emb.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("embedding"))
-      val scaled = emb.filter(col("vec_id") % 50 === 0)
+      val scaled = emb.filter(col("vec_id") % 100 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"),
           transform(col("embedding"), x => x.cast("double") * lit(1.5)).as("embedding"))
       graft.operators.Dedup.embeddingNearDupPairs(
@@ -429,8 +436,8 @@ object SparkEntry {
   private lazy val embedNearDupOracle: String = {
     def dotD(a: String, b: String) =
       s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
-    """WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings), """ +
-      """scaled AS (SELECT vec_id + 1000000 AS vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.5) AS embedding FROM embeddings WHERE vec_id % 50 = 0), """ +
+    """WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE vec_id % 4 = 0), """ +
+      """scaled AS (SELECT vec_id + 1000000 AS vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.5) AS embedding FROM embeddings WHERE vec_id % 100 = 0), """ +
       """c AS (SELECT * FROM base UNION ALL SELECT * FROM scaled) """ +
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM c a, c b WHERE a.vec_id < b.vec_id AND ${dotD("a.embedding", "b.embedding")} / (sqrt(${dotD("a.embedding", "a.embedding")}) * sqrt(${dotD("b.embedding", "b.embedding")}) + 1e-12) >= 0.999 ORDER BY id_a, id_b"""
   }

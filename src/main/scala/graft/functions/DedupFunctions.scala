@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import graft.operators.Dedup
+
+/**
+ * Native Catalyst expressions for the dedup hash kernels, so the signature
+ * computation runs inside whole-stage codegen directly over the scan —
+ * no typed-Dataset deserialization on the hot path, no Scala-UDF boxing.
+ * (The FNV band hash is also an expression because ANSI mode makes SQL-level
+ * wrapping multiplication impossible — long overflow throws.)
+ */
+object DedupExprs {
+  /** Static entry points for codegen (stable JVM names). */
+  def minhashSig(s: UTF8String, numPerms: Int, shingle: Int, seed: Long): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(Dedup.signature(s.toString, numPerms, shingle, seed))
+
+  def simhash(s: UTF8String): Long = Dedup.simHash64(s.toString)
+
+  /** FNV-1a over one LSH band of a signature (band b, rowsPerBand r). */
+  def bandHash(sig: ArrayData, band: Int, rowsPerBand: Int): Long = {
+    var h = 0xCBF29CE484222325L ^ band.toLong
+    var i = 0
+    val base = band * rowsPerBand
+    val n = sig.numElements()
+    while (i < rowsPerBand && base + i < n) {
+      h ^= sig.getLong(base + i)
+      h *= 0x100000001B3L
+      i += 1
+    }
+    h
+  }
+}
+
+/** minhash_signature(text): array<bigint> MinHash signature. */
+case class MinHashSignature(child: Expression, numPerms: Int = 64,
+                            shingle: Int = 5, seed: Long = 42L)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    DedupExprs.minhashSig(v.asInstanceOf[UTF8String], numPerms, shingle, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.DedupExprs.minhashSig($c, $numPerms, $shingle, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+  override def prettyName: String = "minhash_signature"
+}
+
+/** simhash64(text): 64-bit SimHash over whitespace tokens. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any = DedupExprs.simhash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DedupExprs.simhash($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/** minhash_band_hash(sig, band): FNV-1a bucket key of one LSH band. */
+case class MinHashBandHash(left: Expression, right: Expression, rowsPerBand: Int)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (ARRAY<BIGINT>, INT), got $other")
+    }
+  override def nullSafeEval(sig: Any, band: Any): Any =
+    DedupExprs.bandHash(sig.asInstanceOf[ArrayData], band.asInstanceOf[Int], rowsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, b) =>
+      s"graft.functions.DedupExprs.bandHash($s, $b, $rowsPerBand)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashBandHash =
+    copy(left = l, right = r)
+  override def prettyName: String = "minhash_band_hash"
+}
+
+object DedupFunctions {
+  def minhash_signature(c: Column, numPerms: Int = 64, shingle: Int = 5,
+                        seed: Long = 42L): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(c), numPerms, shingle, seed))
+  def simhash64(c: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+  def minhash_band_hash(sig: Column, band: Column, rowsPerBand: Int): Column =
+    ColumnBridge.column(MinHashBandHash(ColumnBridge.expression(sig),
+      ColumnBridge.expression(band), rowsPerBand))
+
+  /** SQL registration: SELECT simhash64(text), minhash_signature(text) ... */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      es => MinHashSignature(es.head), "scala_udf")
+  }
+}

@@ -127,34 +127,36 @@ object Dedup {
   final case class BandRow(id: Long, band: Int, bucket: Long, sig: Array[Long])
   final case class Pair(id_a: Long, id_b: Long, est_jaccard: Double)
 
-  /** (id, text) -> signatures. Pure projection, no shuffle. */
+  /** (id, text) -> signatures, computed by the codegen'd Catalyst
+    * expression (graft.functions.MinHashSignature) directly over the scan:
+    * pure projection, no shuffle, no typed-row deserialization. */
   def signatures(df: DataFrame, idCol: String, textCol: String,
                  numPerms: Int = 64, shingle: Int = 5, seed: Long = 42L)
                 (implicit spark: SparkSession): Dataset[Sig] = {
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        Sig(id, signature(if (text == null) "" else text, numPerms, shingle, seed))
-      })
+    signaturesDf(df, idCol, textCol, numPerms, shingle, seed).as[Sig]
   }
 
-  /** LSH band rows: numPerms = bands * rowsPerBand. */
+  private def signaturesDf(df: DataFrame, idCol: String, textCol: String,
+                           numPerms: Int, shingle: Int, seed: Long): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      graft.functions.DedupFunctions.minhash_signature(
+        coalesce(col(textCol), lit("")), numPerms, shingle, seed).as("sig"))
+
+  /** LSH band rows via codegen'd column ops (explode over band structs,
+    * FNV band hash as a native expression — ANSI mode forbids SQL-level
+    * wrapping multiplication): numPerms = bands * rowsPerBand. */
   def bandRows(sigs: Dataset[Sig], bands: Int, rowsPerBand: Int)
               (implicit spark: SparkSession): Dataset[BandRow] = {
     import spark.implicits._
-    sigs.flatMap { s =>
-      (0 until bands).iterator.map { b =>
-        var h = 0xCBF29CE484222325L ^ b.toLong
-        var r = 0
-        while (r < rowsPerBand) {
-          h ^= s.sig(b * rowsPerBand + r)
-          h *= 0x100000001B3L
-          r += 1
-        }
-        BandRow(s.id, b, h, s.sig)
-      }
-    }
+    import graft.functions.DedupFunctions.minhash_band_hash
+    sigs.toDF()
+      .select(col("id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            minhash_band_hash(col("sig"), b, rowsPerBand).as("bucket")))).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("sig"))
+      .as[BandRow]
   }
 
   /** Near-dup candidate pairs above `threshold` estimated Jaccard.
@@ -433,10 +435,9 @@ object Dedup {
     * maxHamming <= 3), verify with full hamming. One shuffle. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3)(implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val hashes = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
-      .mapPartitions(_.map { case (id, t) => (id, simHash64(if (t == null) "" else t)) })
-      .toDF("id", "simhash")
+    val hashes = df.select(col(idCol).cast("long").as("id"),
+      graft.functions.DedupFunctions.simhash64(
+        coalesce(col(textCol), lit(""))).as("simhash"))
     val chunked = hashes.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),

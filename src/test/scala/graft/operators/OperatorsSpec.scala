@@ -82,6 +82,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept === Set(1L, 10L, 20L))
   }
 
+  test("minhash/simhash Catalyst expressions equal the kernel and stay in codegen") {
+    import spark.implicits._
+    import graft.functions.DedupFunctions
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val texts = (0 until 10).map(i => (i.toLong, baseText(i))) :+ (99L, "")
+    val df = texts.toDF("id", "text")
+    val viaExpr = df.select(col("id"),
+      DedupFunctions.minhash_signature(coalesce(col("text"), lit(""))).as("sig"),
+      DedupFunctions.simhash64(coalesce(col("text"), lit(""))).as("sh"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Long](1).toArray, r.getLong(2)))).toMap
+    texts.foreach { case (id, t) =>
+      val (sig, sh) = viaExpr(id)
+      assert(sig.sameElements(Dedup.signature(t)), s"sig mismatch id=$id")
+      assert(sh === Dedup.simHash64(t), s"simhash mismatch id=$id")
+    }
+    // whole-stage codegen: the projection line carries the *(n) marker
+    // (a parquet scan, not a LocalRelation — Catalyst eagerly evaluates
+    // deterministic projections over local data)
+    val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(DedupFunctions.simhash64(col("text")).as("x"),
+        DedupFunctions.minhash_signature(col("text")).as("sig"))
+      .queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("simhash64")).getOrElse("")
+    assert(line.trim.startsWith("*("), s"expression outside codegen:\n$plan")
+  }
+
   test("embedding near-dup: bucketed pairs recover planted scaled duplicates exactly") {
     import spark.implicits._
     def vec(seed: Int): Array[Double] = {
