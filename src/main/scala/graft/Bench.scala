@@ -36,6 +36,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.local.dir", localDir)
+      // single-host tmpfs shuffle: lz4 would cost CPU to save RAM bandwidth
+      // it doesn't have to save (a real cluster trades CPU for network and
+      // would keep compression on — this is a local-mode deployment choice)
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
       .getOrCreate()
   }
 

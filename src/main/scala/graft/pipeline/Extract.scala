@@ -56,11 +56,13 @@ object Extract {
       case Some(done) => pages.join(done, Seq("url"), "left_anti")
       case None       => pages
     }
-    // attach prior attempt counts for re-driven failures (small set — the
-    // broadcast-ability is structural: only failed-but-retryable urls)
+    // attach prior attempt counts for re-driven failures. The set is small
+    // by construction (failed-but-retryable urls only) so Catalyst/AQE will
+    // normally broadcast it — but the hint is NOT forced: a pathological
+    // all-failing corpus must degrade to a shuffle join, not OOM the driver.
     val pending = table.retryAttempts(spark, maxRetries) match {
       case Some(att) =>
-        notDone.join(broadcast(att), Seq("url"), "left")
+        notDone.join(att, Seq("url"), "left")
           .withColumn("prior_attempts", coalesce(col("prior_attempts"), lit(0)))
       case None => notDone.withColumn("prior_attempts", lit(0))
     }
