@@ -26,6 +26,41 @@ object DedupExprs {
 
   def simhash(s: UTF8String): Long = Dedup.simHash64(s.toString)
 
+  /** Sign-LSH bucket of a float/double vector; hyperplanes regenerated
+    * deterministically per (bits, dim, seed) and cached per executor — no
+    * broadcast variable needed. */
+  def lshBucket(vec: ArrayData, isDouble: Boolean, bits: Int, dim: Int, seed: Long): Int = {
+    val planes = planeCache.getOrElseUpdate((bits, dim, seed),
+      graft.operators.Similarity.hyperplanes(bits, dim, seed))
+    val n = vec.numElements()
+    var b = 0
+    var i = 0
+    while (i < planes.length) {
+      val p = planes(i)
+      val m = math.min(p.length, n)
+      var s = 0.0f
+      var j = 0
+      if (isDouble) while (j < m) { s += vec.getDouble(j).toFloat * p(j); j += 1 }
+      else while (j < m) { s += vec.getFloat(j) * p(j); j += 1 }
+      if (s >= 0) b |= (1 << i)
+      i += 1
+    }
+    b
+  }
+
+  def lshProbes(vec: ArrayData, isDouble: Boolean, bits: Int, dim: Int,
+                seed: Long, probes: Int): ArrayData = {
+    val b = lshBucket(vec, isDouble, bits, dim, seed)
+    val out = new Array[Int](1 + math.min(probes, bits))
+    out(0) = b
+    var i = 0
+    while (i < out.length - 1) { out(i + 1) = b ^ (1 << i); i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  private val planeCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, Int, Long), Array[Array[Float]]]
+
   /** FNV-1a over one LSH band of a signature (band b, rowsPerBand r). */
   def bandHash(sig: ArrayData, band: Int, rowsPerBand: Int): Long = {
     var h = 0xCBF29CE484222325L ^ band.toLong
@@ -95,7 +130,55 @@ case class MinHashBandHash(left: Expression, right: Expression, rowsPerBand: Int
   override def prettyName: String = "minhash_band_hash"
 }
 
+/** Shared input check + codegen for the vector-LSH expressions. */
+abstract class VectorLshExpr extends UnaryExpression {
+  protected def isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires ARRAY<FLOAT|DOUBLE> input, got $other")
+    }
+}
+
+/** lsh_bucket(vec): sign-LSH bucket id (int). */
+case class LshBucket(child: Expression, bits: Int = 8, dim: Int = 64, seed: Long = 42L)
+  extends VectorLshExpr {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    DedupExprs.lshBucket(v.asInstanceOf[ArrayData], isDouble, bits, dim, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.DedupExprs.lshBucket($c, $isDouble, $bits, $dim, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): LshBucket = copy(child = c)
+  override def prettyName: String = "lsh_bucket"
+}
+
+/** lsh_probes(vec): own bucket + single-bit-flip probe buckets (array<int>). */
+case class LshProbes(child: Expression, bits: Int = 8, dim: Int = 64,
+                     seed: Long = 42L, probes: Int = 2)
+  extends VectorLshExpr {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    DedupExprs.lshProbes(v.asInstanceOf[ArrayData], isDouble, bits, dim, seed, probes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.DedupExprs.lshProbes($c, $isDouble, $bits, $dim, ${seed}L, $probes)")
+  override protected def withNewChildInternal(c: Expression): LshProbes = copy(child = c)
+  override def prettyName: String = "lsh_probes"
+}
+
 object DedupFunctions {
+  def lsh_bucket(c: Column, bits: Int = 8, dim: Int = 64, seed: Long = 42L): Column =
+    ColumnBridge.column(LshBucket(ColumnBridge.expression(c), bits, dim, seed))
+  def lsh_probes(c: Column, bits: Int = 8, dim: Int = 64, seed: Long = 42L,
+                 probes: Int = 2): Column =
+    ColumnBridge.column(LshProbes(ColumnBridge.expression(c), bits, dim, seed, probes))
   def minhash_signature(c: Column, numPerms: Int = 64, shingle: Int = 5,
                         seed: Long = 42L): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(c), numPerms, shingle, seed))

@@ -374,23 +374,13 @@ object Dedup {
                             seed: Long = 42L, probes: Int = 2)
                            (implicit spark: SparkSession): DataFrame = {
     import graft.operators.Similarity
-    val planes = Similarity.hyperplanes(bits, dim, seed)
-    val bPlanes = spark.sparkContext.broadcast(planes)
-    val bucketOf = udf((v: Seq[Double]) =>
-      if (v == null) -1 else Similarity.lshBucket(v.map(_.toFloat).toArray, bPlanes.value))
-    val probesOf = udf((v: Seq[Double]) => {
-      if (v == null) Array(-1)
-      else {
-        val b = Similarity.lshBucket(v.map(_.toFloat).toArray, bPlanes.value)
-        (Seq(b) ++ (0 until math.min(probes, bits)).map(i => b ^ (1 << i))).toArray
-      }
-    })
+    import graft.functions.DedupFunctions.{lsh_bucket, lsh_probes}
     val base = emb.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
     val left = base.select(col("id").as("id_a"), col("vec").as("vec_a"),
-      explode(probesOf(col("vec"))).as("bucket"))
+      explode(lsh_probes(col("vec"), bits, dim, seed, probes)).as("bucket"))
     val right = base.select(col("id").as("id_b"), col("vec").as("vec_b"),
-      bucketOf(col("vec")).as("bucket"))
+      lsh_bucket(col("vec"), bits, dim, seed).as("bucket"))
     left.join(right, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", Similarity.cosine(col("vec_a"), col("vec_b")))

@@ -83,7 +83,9 @@ object Similarity {
 
   /**
    * LSH-bucketed ANN top-k: corpus and queries are bucketed by sign-LSH
-   * (pure projection), then joined bucket-to-bucket. Recall < 1 by design;
+   * (a pure codegen'd projection — graft.functions.LshBucket, no UDF, no
+   * broadcast variable: hyperplanes regenerate deterministically per
+   * executor), then joined bucket-to-bucket. Recall < 1 by design;
    * `probes` extra buckets (hamming-1 flips) trade compute for recall.
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
@@ -91,23 +93,12 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding",
               queryIdCol: String = "query_id")
              (implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val planes = hyperplanes(bits, dim, seed)
-    val bPlanes = spark.sparkContext.broadcast(planes)
-    val bucketUdf = udf((v: Array[Float]) =>
-      if (v == null) -1 else lshBucket(v, bPlanes.value))
+    import graft.functions.DedupFunctions.{lsh_bucket, lsh_probes}
     val corpusB = corpus.select(col(idCol), col(vecCol))
-      .withColumn("bucket", bucketUdf(col(vecCol)))
+      .withColumn("bucket", lsh_bucket(col(vecCol), bits, dim, seed))
     // queries probe their own bucket + `probes` single-bit flips
-    val probeUdf = udf((v: Array[Float]) => {
-      if (v == null) Array(-1)
-      else {
-        val b = lshBucket(v, bPlanes.value)
-        (Seq(b) ++ (0 until math.min(probes, bits)).map(i => b ^ (1 << i))).toArray
-      }
-    })
     val q = queries.select(col(queryIdCol), col(vecCol).as("q_vec"))
-      .withColumn("bucket", explode(probeUdf(col("q_vec"))))
+      .withColumn("bucket", explode(lsh_probes(col("q_vec"), bits, dim, seed, probes)))
     val joined = corpusB.join(broadcast(q), Seq("bucket"))
       .filter(col(idCol) =!= col(queryIdCol))
       .withColumn("sim", cosine(col(vecCol), col("q_vec")))
