@@ -335,6 +335,17 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    // ----- ANN: IVF variant (k-means cells trained on a driver-side sample,
+    //       corpus assigned to cells, queries probe nprobe cells) -----
+    "q_ann_ivf" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.operators.Similarity.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // ----- multimodal: binary decode-stub + batched feature extraction.
     //       Blobs are doc-derived (header params = doc_id arithmetic,
     //       payload = text bytes) so the DuckDB oracle independently

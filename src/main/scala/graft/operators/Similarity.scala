@@ -51,6 +51,91 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("rank"), col("sim"))
   }
 
+  // ------------------------------------------------------------------- IVF
+  /**
+   * IVF coarse quantizer: k-means centroids trained on a bounded,
+   * deterministically-ordered sample on the DRIVER (standard IVF practice —
+   * the model is a few KB; the corpus never leaves the executors). The
+   * centroid state is data-dependent, so assignment is a broadcast + UDF
+   * (unlike the stateless sign-LSH, which is a pure codegen expression).
+   */
+  def trainCentroids(corpus: DataFrame, vecCol: String, nlist: Int,
+                     sampleCap: Int = 4096, iters: Int = 10,
+                     idCol: String = "vec_id"): Array[Array[Float]] = {
+    val sample = corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .limit(sampleCap).collect()
+      .map(_.getSeq[Float](1).toArray).filter(_ != null)
+    require(sample.nonEmpty, "empty training sample")
+    val k = math.min(nlist, sample.length)
+    val dim = sample.head.length
+    // deterministic init: evenly-strided sample points
+    var centroids = Array.tabulate(k)(i => sample(i * sample.length / k).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var j = 0
+        while (j < dim && j < v.length) { sums(c)(j) += v(j); j += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else Array.tabulate(dim)(j => (sums(c)(j) / counts(c)).toFloat)
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Index of the max-cosine centroid (centroids need not be unit norm). */
+  def nearestCentroid(v: Array[Float], cents: Array[Array[Float]]): Int =
+    nearestCentroids(v, cents, 1)(0)
+
+  def nearestCentroids(v: Array[Float], cents: Array[Array[Float]], n: Int): Array[Int] = {
+    val scored = cents.indices.map { c =>
+      val p = cents(c)
+      var dot = 0.0; var nv = 0.0; var np = 0.0
+      val m = math.min(p.length, v.length)
+      var j = 0
+      while (j < m) { dot += v(j) * p(j); nv += v(j) * v(j); np += p(j) * p(j); j += 1 }
+      (c, dot / (math.sqrt(nv) * math.sqrt(np) + 1e-12))
+    }
+    scored.sortBy { case (c, s) => (-s, c) }.take(math.min(n, cents.length))
+      .map(_._1).toArray
+  }
+
+  /**
+   * IVF ANN top-k (the alternative scale path to lshTopK): corpus vectors
+   * are assigned to their nearest centroid cell; queries probe the
+   * `nprobe` nearest cells; exact cosine ranks within the probed cells.
+   * One shuffle (the cell join); the corpus is never all-pairs joined.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              queryIdCol: String = "query_id")
+             (implicit spark: SparkSession): DataFrame = {
+    val cents = trainCentroids(corpus, vecCol, nlist, idCol = idCol)
+    val bc = spark.sparkContext.broadcast(cents)
+    val assignUdf = udf((v: Seq[Float]) =>
+      if (v == null) -1 else nearestCentroid(v.toArray, bc.value))
+    val probeUdf = udf((v: Seq[Float]) =>
+      if (v == null) Array(-1) else nearestCentroids(v.toArray, bc.value, nprobe))
+    val corpusB = corpus.select(col(idCol), col(vecCol))
+      .withColumn("cell", assignUdf(col(vecCol)))
+    val q = queries.select(col(queryIdCol), col(vecCol).as("q_vec"))
+      .withColumn("cell", explode(probeUdf(col("q_vec"))))
+    val joined = corpusB.join(broadcast(q), Seq("cell"))
+      .filter(col(idCol) =!= col(queryIdCol))
+      .withColumn("sim", cosine(col(vecCol), col("q_vec")))
+    val w = Window.partitionBy(queryIdCol).orderBy(col("sim").desc, col(idCol))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("rank"), col("sim"))
+  }
+
   /** Deterministic random hyperplanes (splitmix64 gaussians via CLT-sum). */
   def hyperplanes(bits: Int, dim: Int, seed: Long): Array[Array[Float]] = {
     var x = seed

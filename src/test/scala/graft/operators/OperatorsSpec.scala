@@ -82,6 +82,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept === Set(1L, 10L, 20L))
   }
 
+  test("IVF ANN: high recall on clustered vectors via probed cells") {
+    import spark.implicits._
+    val dim = 16
+    def member(c: Int, m: Int): Array[Float] = {
+      val base = vec(c * 7777, dim)
+      val r = new scala.util.Random(c * 100 + m)
+      base.map(x => x + (r.nextFloat() - 0.5f) * 0.1f)
+    }
+    val corpus = (for (c <- 0 until 20; m <- 0 until 20)
+      yield ((c * 100 + m).toLong, member(c, m).toSeq)).toDF("vec_id", "embedding")
+    val queries = (0 until 20).map(c => ((10000 + c).toLong, member(c, 99).toSeq))
+      .toDF("query_id", "embedding")
+    val ivf = Similarity.ivfTopK(corpus, queries, k = 5, nlist = 20, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF recall too low on clustered corpus: $recall")
+    // determinism: same training sample -> same cells -> same result
+    val again = Similarity.ivfTopK(corpus, queries, k = 5, nlist = 20, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === ivf)
+  }
+
   test("minhash/simhash Catalyst expressions equal the kernel and stay in codegen") {
     import spark.implicits._
     import graft.functions.DedupFunctions
