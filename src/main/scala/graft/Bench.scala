@@ -178,13 +178,18 @@ object Bench {
       if (!doScaling) ""
       else {
         val rows = math.min(benchRows, 100000L)
-        // up to 4 interleaved (8, 32) rounds; each is stamped with the host
-        // canary so a throttled round is self-evident in the artifact; stop
-        // early once a credible round shows the target efficiency
+        // up to 4 interleaved (8, 32) rounds within a wall-clock budget (the
+        // driver has its own timeout — a throttled host must not starve the
+        // rest of the artifact); each round is stamped with the host canary
+        // so a throttled round is self-evident; stop early once a credible
+        // round shows the target efficiency
+        val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_SEC", "420").toLong
+        val tStart = System.nanoTime()
+        def elapsedSec: Long = (System.nanoTime() - tStart) / 1000000000L
         val rounds = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
         var r = 0
         var done = false
-        while (r < 4 && !done) {
+        while (r < 4 && !done && (r == 0 || elapsedSec < budgetSec)) {
           val c = hostCanary()
           val d8 = runPinnedChild(8, rows)
           val d32 = runPinnedChild(32, rows)
