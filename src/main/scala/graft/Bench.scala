@@ -170,6 +170,10 @@ object Bench {
     val passes = (1 to 4).map(_ => extractThroughput(spark, benchRows, cpus.toInt * 2))
     val (inlineBest, extracted) = passes.maxBy(_._1)
 
+    // the parent session is done measuring — stop it BEFORE forking the
+    // pinned children so its idle executor/GC threads cannot pollute them
+    spark.stop()
+
     // scaling evidence in the artifact of record: interleaved pinned rounds
     // (skipped with SPARK_GRAFT_SCALING=0, or when the host is so throttled
     // the inline passes already crawled — no point burning the round budget)
@@ -224,7 +228,6 @@ object Bench {
     val total = results.map(_._2).sum + extracted / inlineBest
     val passesJson = passes.map(p => p._1.round).mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs_per_sec":$docsPerSec,"extract_docs_per_sec_passes":$passesJson,"extract_rows":$extracted,"cpus":$cpus,"canary_sec_before":${"%.4f".format(canaryBefore)},"canary_sec_after":${"%.4f".format(canaryAfter)},"canary_quiet_ref":0.04$scalingJson}""")
-    spark.stop()
   }
 }
 

@@ -29,6 +29,8 @@ object TextExprs {
     if (t.isEmpty) 0.0 else TextKernel.printableRatio(t)
   }
   def qualityStr(s: UTF8String): Double = QualityScore.computeQuality(s.toString)
+  def langIdNgram(s: UTF8String): UTF8String =
+    UTF8String.fromString(graft.kernel.LangId.detect(s.toString))
 }
 
 abstract class StringKernelExpr extends UnaryExpression {
@@ -68,10 +70,21 @@ case class TextQuality(child: Expression) extends StringKernelExpr {
   override def prettyName: String = "text_quality"
 }
 
+/** lang_id_ngram(s): Cavnar–Trenkle trigram-profile language id ("und" when
+  * too short to call). */
+case class LangIdNgram(child: Expression) extends StringKernelExpr {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = TextExprs.langIdNgram(v.asInstanceOf[UTF8String])
+  override protected def staticCall = "graft.functions.TextExprs.langIdNgram"
+  override protected def withNewChildInternal(c: Expression): LangIdNgram = copy(child = c)
+  override def prettyName: String = "lang_id_ngram"
+}
+
 object TextFunctions {
   def sanitize_text(c: Column): Column = ColumnBridge.column(SanitizeText(ColumnBridge.expression(c)))
   def printable_ratio(c: Column): Column = ColumnBridge.column(PrintableRatio(ColumnBridge.expression(c)))
   def text_quality(c: Column): Column = ColumnBridge.column(TextQuality(ColumnBridge.expression(c)))
+  def lang_id_ngram(c: Column): Column = ColumnBridge.column(LangIdNgram(ColumnBridge.expression(c)))
 
   /** SQL registration: SELECT sanitize_text(text) ... */
   def register(spark: SparkSession): Unit = {
@@ -79,5 +92,6 @@ object TextFunctions {
     reg.createOrReplaceTempFunction("sanitize_text", es => SanitizeText(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("printable_ratio", es => PrintableRatio(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("text_quality", es => TextQuality(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("lang_id_ngram", es => LangIdNgram(es.head), "scala_udf")
   }
 }
