@@ -210,8 +210,21 @@ object Bench {
           val roundsJson = rounds.map { case (a, b, c) =>
             s"""{"d8":${a.round},"d32":${b.round},"eff":${"%.3f".format((b / a) / 4.0)},"canary_sec":${"%.4f".format(c)}}"""
           }.mkString("[", ",", "]")
+          val eff = (d32 / d8) / 4.0
           val throttled = cBest > 0.07
-          s""","scaling":{"docs_per_sec_8":${d8.round},"docs_per_sec_32":${d32.round},"efficiency":${"%.3f".format((d32 / d8) / 4.0)},"rows":$rows,"host_throttled":$throttled,"rounds":$roundsJson}"""
+          // When the host is throttled down to ~8 effective cores, an 8->32
+          // comparison physically cannot show scaling (d8 ~= d32). A (2, 8)
+          // pair is the same N-vs-4N criterion at a scale the crippled host
+          // can still express — run one round as secondary evidence.
+          val small =
+            if (eff < 0.5 && throttled) {
+              val d2 = runPinnedChild(2, rows)
+              val d8b = runPinnedChild(8, rows)
+              if (d2 > 0 && d8b > 0)
+                s""","scaling_2_to_8":{"docs_per_sec_2":${d2.round},"docs_per_sec_8":${d8b.round},"efficiency":${"%.3f".format((d8b / d2) / 4.0)}}"""
+              else ""
+            } else ""
+          s""","scaling":{"docs_per_sec_8":${d8.round},"docs_per_sec_32":${d32.round},"efficiency":${"%.3f".format(eff)},"rows":$rows,"host_throttled":$throttled,"rounds":$roundsJson$small}"""
         }
       }
 

@@ -26,6 +26,9 @@ object DedupExprs {
 
   def simhash(s: UTF8String): Long = Dedup.simHash64(s.toString)
 
+  def winnow(s: UTF8String, k: Int, w: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(graft.kernel.Winnow.fingerprints(s.toString, k, w))
+
   /** Sign-LSH bucket of a float/double vector; hyperplanes regenerated
     * deterministically per (bits, dim, seed) and cached per executor — no
     * broadcast variable needed. */
@@ -92,6 +95,22 @@ case class MinHashSignature(child: Expression, numPerms: Int = 64,
       s"graft.functions.DedupExprs.minhashSig($c, $numPerms, $shingle, ${seed}L)")
   override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
   override def prettyName: String = "minhash_signature"
+}
+
+/** winnow_fingerprints(text): rolling-hash winnowing fingerprint set. */
+case class WinnowFingerprints(child: Expression, k: Int = 8, w: Int = 16)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    DedupExprs.winnow(v.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DedupExprs.winnow($c, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprints = copy(child = c)
+  override def prettyName: String = "winnow_fingerprints"
 }
 
 /** simhash64(text): 64-bit SimHash over whitespace tokens. */
@@ -184,6 +203,8 @@ object DedupFunctions {
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(c), numPerms, shingle, seed))
   def simhash64(c: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+  def winnow_fingerprints(c: Column, k: Int = 8, w: Int = 16): Column =
+    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(c), k, w))
   def minhash_band_hash(sig: Column, band: Column, rowsPerBand: Int): Column =
     ColumnBridge.column(MinHashBandHash(ColumnBridge.expression(sig),
       ColumnBridge.expression(band), rowsPerBand))
