@@ -167,7 +167,7 @@ object Bench {
     materializeCorpus(spark, benchRows / 4)
     materializeCorpus(spark, benchRows)
     extractThroughput(spark, benchRows / 4, cpus.toInt * 2) // warmup
-    val passes = (1 to 4).map(_ => extractThroughput(spark, benchRows, cpus.toInt * 2))
+    val passes = (1 to 3).map(_ => extractThroughput(spark, benchRows, cpus.toInt * 2))
     val (inlineBest, extracted) = passes.maxBy(_._1)
 
     // the parent session is done measuring — stop it BEFORE forking the
@@ -181,13 +181,13 @@ object Bench {
     val scalingJson =
       if (!doScaling) ""
       else {
-        val rows = math.min(benchRows, 100000L)
+        val rows = math.min(benchRows, 50000L)
         // up to 4 interleaved (8, 32) rounds within a wall-clock budget (the
         // driver has its own timeout — a throttled host must not starve the
         // rest of the artifact); each round is stamped with the host canary
         // so a throttled round is self-evident; stop early once a credible
         // round shows the target efficiency
-        val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_SEC", "420").toLong
+        val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_SEC", "300").toLong
         val tStart = System.nanoTime()
         def elapsedSec: Long = (System.nanoTime() - tStart) / 1000000000L
         val rounds = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
@@ -217,7 +217,7 @@ object Bench {
           // pair is the same N-vs-4N criterion at a scale the crippled host
           // can still express — run one round as secondary evidence.
           val small =
-            if (eff < 0.5 && throttled) {
+            if (eff < 0.5 && throttled && elapsedSec < budgetSec) {
               val d2 = runPinnedChild(2, rows)
               val d8b = runPinnedChild(8, rows)
               if (d2 > 0 && d8b > 0)

@@ -116,28 +116,35 @@ final class SnapshotTable(dirStr: String) {
     else if (chainFailedTotal.contains(0L))
       Some(spark.read.parquet(dirs: _*).select("url"))
     else {
+      // done = any success  ∪  terminally-failed. The aggregate touches ONLY
+      // the failed subset (error IS NOT NULL pushes to the scan), so the
+      // resume cost stays success-scan + failure-proportional work — never a
+      // full-chain groupBy. Duplicate urls in the union are harmless for the
+      // anti-join consumer.
       val t = spark.read.parquet(dirs: _*).select(col("url"), col("error"))
-      Some(t.groupBy("url")
-        .agg(max(when(col("error").isNull, 1).otherwise(0)).as("ok"),
-          sum(when(col("error").isNotNull, 1).otherwise(0)).as("fails"))
-        .filter(col("ok") === 1 || col("fails") >= maxRetries)
-        .select("url"))
+      val ok = t.filter(col("error").isNull).select("url")
+      val terminal = t.filter(col("error").isNotNull)
+        .groupBy("url").agg(count(lit(1)).as("fails"))
+        .filter(col("fails") >= maxRetries).select("url")
+      Some(ok.union(terminal))
     }
   }
 
   /** (url, prior_attempts) for urls that failed but are still retryable —
     * the re-drive set. None when the chain is empty or recorded no failures.
-    * Small by construction (failed urls only): Catalyst will broadcast it. */
+    * Aggregates only the failed subset, then anti-joins away urls that later
+    * succeeded. Small by construction: Catalyst/AQE will broadcast it. */
   def retryAttempts(spark: SparkSession, maxRetries: Int = DefaultMaxRetries): Option[DataFrame] = {
     import org.apache.spark.sql.functions._
     val dirs = visibleDataDirs
     if (dirs.isEmpty || chainFailedTotal.contains(0L)) None
     else {
       val t = spark.read.parquet(dirs: _*).select(col("url"), col("error"))
-      Some(t.groupBy("url")
-        .agg(max(when(col("error").isNull, 1).otherwise(0)).as("ok"),
-          sum(when(col("error").isNotNull, 1).otherwise(0)).as("fails"))
-        .filter(col("ok") === 0 && col("fails") > 0 && col("fails") < maxRetries)
+      val ok = t.filter(col("error").isNull).select("url")
+      Some(t.filter(col("error").isNotNull)
+        .groupBy("url").agg(count(lit(1)).as("fails"))
+        .filter(col("fails") < maxRetries)
+        .join(ok, Seq("url"), "left_anti")
         .select(col("url"), col("fails").cast("int").as("prior_attempts")))
     }
   }
