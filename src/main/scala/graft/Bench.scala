@@ -36,12 +36,46 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.local.dir", localDir)
-      // single-host tmpfs shuffle: lz4 would cost CPU to save RAM bandwidth
-      // it doesn't have to save (a real cluster trades CPU for network and
-      // would keep compression on — this is a local-mode deployment choice)
-      .config("spark.shuffle.compress", "false")
-      .config("spark.shuffle.spill.compress", "false")
+      // single-host tmpfs shuffle: compression trades CPU for RAM-bandwidth;
+      // which side wins depends on the host (env-tunable, measured A/B)
+      .config("spark.shuffle.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"))
+      .config("spark.shuffle.spill.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"))
       .getOrCreate()
+  }
+
+  /** Parallel host-capacity canary: 32 threads each FNV-hash a disjoint
+    * 2 MB slice of a 64 MB buffer; wall time of the slowest thread. On a
+    * quiet 32-core host this is ~1/32 of the single-thread canary (~0.002 s);
+    * this VM's throttle phases cap PARALLEL capacity independently of
+    * single-thread speed, so both canaries are needed to interpret a
+    * throughput number. */
+  def hostCanaryParallel(threads: Int = 32): Double = {
+    val buf = new Array[Byte](64 << 20)
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < buf.length) { x = x * 6364136223846793005L + 1442695040888963407L; buf(i) = (x >>> 56).toByte; i += 1 }
+    val slice = buf.length / threads
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    def pass(): Double = {
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map { t =>
+        new Thread(() => {
+          var h = 0xCBF29CE484222325L
+          var j = t * slice
+          val end = j + slice
+          while (j < end) { h ^= buf(j); h *= 0x100000001B3L; j += 1 }
+          sink.addAndGet(h)
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    pass()
+    val best = (1 to 3).map(_ => pass()).min
+    if (sink.get == 42L) System.err.println("canary sink")
+    best
   }
 
   /** Single-thread host-speed canary: FNV-1a over 64 MB, best of 3.
@@ -148,6 +182,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val canaryBefore = hostCanary()
+    val canaryParBefore = hostCanaryParallel()
     val spark = buildSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
 
@@ -235,12 +270,13 @@ object Bench {
     val docsPerSec = math.max(inlineBest, pinned32)
 
     val canaryAfter = hostCanary()
+    val canaryParAfter = hostCanaryParallel()
     val qs = (results :+ ("extract_pipeline_e2e" ->
       (extracted / inlineBest))).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + extracted / inlineBest
     val passesJson = passes.map(p => p._1.round).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs_per_sec":$docsPerSec,"extract_docs_per_sec_passes":$passesJson,"extract_rows":$extracted,"cpus":$cpus,"canary_sec_before":${"%.4f".format(canaryBefore)},"canary_sec_after":${"%.4f".format(canaryAfter)},"canary_quiet_ref":0.04$scalingJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs_per_sec":$docsPerSec,"extract_docs_per_sec_passes":$passesJson,"extract_rows":$extracted,"cpus":$cpus,"canary_sec_before":${"%.4f".format(canaryBefore)},"canary_sec_after":${"%.4f".format(canaryAfter)},"canary_quiet_ref":0.04,"canary32_sec_before":${"%.4f".format(canaryParBefore)},"canary32_sec_after":${"%.4f".format(canaryParAfter)},"canary32_quiet_ref":0.002$scalingJson}""")
   }
 }
 

@@ -110,6 +110,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unpruned columns leak into the scan: $readSchema")
   }
 
+  test("resume with failures aggregates only the failed subset (error filter pushed to scan)") {
+    import spark.implicits._
+    import graft.kernel.ExtractKernel.{ExtractedDoc, Lineage}
+    val tableDir = Files.createTempDirectory("plan-table").toString
+    val table = new graft.tables.SnapshotTable(tableDir)
+    val rows = Seq(
+      ExtractedDoc("u1", "html", "ok text", null, null, Array.empty, 0.5, 7L, null, Lineage(0, 0, "t")),
+      ExtractedDoc("u2", "html", null, null, null, Array.empty, 0.5, 0L, "boom", Lineage(0, 0, "error")))
+    table.commit(rows.toDS().toDF(), Map("input" -> 2L, "extracted" -> 1L, "failed" -> 1L))
+    val done = table.doneUrls(spark).get
+    val plan = planOf(done)
+    assert(plan.toLowerCase.contains("isnotnull(error") ,
+      s"terminal-failure aggregate not failure-filtered:\n$plan")
+    // only url+error are read — no text columns in the resume scan
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!readSchemas.contains("extracted_text"),
+      s"resume scan reads text columns:\n$readSchemas")
+  }
+
   test("aggregates use partial (map-side) aggregation") {
     val plan = planOf(SparkEntry.queries("q_lang_stats")(spark, sf))
     // two HashAggregate nodes: partial + final
