@@ -242,7 +242,11 @@ object Bench {
         }
         if (rounds.isEmpty) ""
         else {
-          val (d8, d32, cBest) = rounds.maxBy(t => t._1 + t._2)
+          // round of record = the one with the best 32-way number: d32 is
+          // the headline scale, and a best-combined rule can be fooled when
+          // the host phase flips BETWEEN the two children of a round
+          // (observed: d8=19.4k then d32=10.1k minutes later)
+          val (d8, d32, cBest) = rounds.maxBy(_._2)
           val roundsJson = rounds.map { case (a, b, c) =>
             s"""{"d8":${a.round},"d32":${b.round},"eff":${"%.3f".format((b / a) / 4.0)},"canary_sec":${"%.4f".format(c)}}"""
           }.mkString("[", ",", "]")
