@@ -23,6 +23,16 @@ import graft.kernel.pdf.{PdfDocument, PdfExtract}
  */
 object ExtractKernel {
 
+  /** Pluggable OCR backend (the reference's EasyOCR sidecar slot). The
+    * sandbox ships none — extraction then takes the embedded-text path
+    * exactly like the reference on sidecar ImportError
+    * (src/processor.py:555-557) — but the O2/O3/O5 arbitration + merge
+    * composition is live code, exercised e2e with a deterministic fake. */
+  trait OcrEngine extends Serializable {
+    /** OCR one page of the document, or None when the page yields nothing. */
+    def ocrPage(pdfBytes: Array[Byte], pageIndex: Int): Option[OcrArbiter.OcrResult]
+  }
+
   final case class Span(kind: String, start: Long, end: Long)
   final case class Lineage(partition_id: Int, attempt: Int, extractor: String)
   /** Output row. Absent text/title/error are `null` (not Option): the
@@ -112,14 +122,25 @@ object ExtractKernel {
     * semantics of src/queue.py:59-78 / task-retry + quarantine per SURVEY
     * §2.2 K2). */
   def extractOne(url: String, html: Array[Byte], partitionId: Int, attempt: Int,
-                 cfg: TextKernel.Config = TextKernel.defaultConfig): ExtractedDoc = {
+                 cfg: TextKernel.Config = TextKernel.defaultConfig,
+                 ocr: Option[OcrEngine] = None): ExtractedDoc = {
     val bytes = if (html == null) Array.emptyByteArray else html
     val docType = try sniff(bytes) catch { case _: Throwable => "other" }
     try {
       docType match {
         case "pdf" =>
-          val text = PdfExtract.extractText(bytes, cfg).orNull
-          done(url, "pdf", text, text, null, EmptySpans, partitionId, attempt, "pdf-lite")
+          val text = (ocr match {
+            case None => PdfExtract.extractText(bytes, cfg)
+            case Some(engine) => // O5: full OCR arbitration (reference
+              // src/processor.py:544-635) over this document's pages
+              PdfExtract.pageTexts(bytes).flatMap { pts =>
+                val pageOcr = pts.indices.map(i =>
+                  try engine.ocrPage(bytes, i) catch { case _: Exception => None })
+                OcrArbiter.processPdfWithOcr(pts, pageOcr, originalExtension = "", cfg = cfg)
+              }
+          }).orNull
+          done(url, "pdf", text, text, null, EmptySpans, partitionId, attempt,
+            if (ocr.isDefined) "pdf-ocr" else "pdf-lite")
         case "html" =>
           // one decode + newline translation shared by the reference-exact
           // raw path (T3, text-mode open semantics) and the main-content path

@@ -40,4 +40,40 @@ class OcrFlowSpec extends AnyFunSuite {
   test("everything blank -> None") {
     assert(OcrArbiter.processPdfWithOcr(Seq("", "  "), Seq(None, None), ".pdf") === None)
   }
+
+  // ------------------------------------------------ e2e with a plugged engine
+  import graft.fixtures.MiniPdf
+
+  /** Deterministic fake backend: OCR quality/length keyed off page index. */
+  private class FakeEngine(textFor: Int => Option[OcrResult]) extends ExtractKernel.OcrEngine {
+    override def ocrPage(pdfBytes: Array[Byte], pageIndex: Int): Option[OcrResult] =
+      textFor(pageIndex)
+  }
+
+  test("e2e kernel: scanned-style PDF (blank embedded) takes the OCR text") {
+    // a one-page PDF whose embedded text is tiny (< 10 chars)
+    val pdf = MiniPdf.build(Seq(Seq("hi")))
+    val ocrText = "recovered by optical recognition " * 3 // > 50 chars
+    val engine = new FakeEngine(i => if (i == 0) Some(OcrResult(ocrText, 0.8)) else None)
+    val doc = ExtractKernel.extractOne("u", pdf, 0, 0, ocr = Some(engine))
+    assert(doc.lineage.extractor === "pdf-ocr")
+    assert(doc.extracted_text === ocrText,
+      s"expected OCR text, got: ${doc.extracted_text}")
+  }
+
+  test("e2e kernel: text-rich PDF keeps embedded text over weak OCR") {
+    val lines = (1 to 6).map(i => s"plenty of embedded text content line number $i")
+    val pdf = MiniPdf.build(Seq(lines))
+    val engine = new FakeEngine(_ => Some(OcrResult("garbled", 0.1)))
+    val doc = ExtractKernel.extractOne("u", pdf, 0, 0, ocr = Some(engine))
+    val embeddedOnly = ExtractKernel.extractOne("u", pdf, 0, 0) // no engine
+    assert(doc.extracted_text === embeddedOnly.extracted_text)
+  }
+
+  test("e2e kernel: without an engine the path and output are unchanged") {
+    val pdf = MiniPdf.build(Seq(Seq("alpha line"), Seq("beta line")))
+    val doc = ExtractKernel.extractOne("u", pdf, 0, 0)
+    assert(doc.lineage.extractor === "pdf-lite")
+    assert(doc.extracted_text === "alpha line\n\n\nbeta line\n")
+  }
 }
