@@ -181,6 +181,61 @@ object MiniPdf {
     out.toByteArray
   }
 
+  /** PDF 1.5 with the catalog/pages/font/page dicts packed into an ObjStm
+    * and referenced via TYPE-2 xref-stream entries — the fully compressed
+    * modern layout (streams themselves stay top-level, as the spec
+    * requires). Object map: 1=catalog 2=pages 3=font 4=page (all in ObjStm
+    * 6), 5=content stream, 6=ObjStm, 7=xref stream. */
+  def buildObjStmXref(lines: Seq[String]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.5\n")
+
+    // top-level stream objects get real offsets
+    val content = contentFor(lines, useTJ = false)
+    val off5 = out.size()
+    w(s"5 0 obj\n<< /Length ${content.length} >>\nstream\n")
+    out.write(content)
+    w("\nendstream\nendobj\n")
+
+    // ObjStm: pairs header "num offset ..." then the objects
+    val inner = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [ 4 0 R ] /Count 1 >>",
+      3 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>",
+      4 -> ("<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+        "/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"))
+    val bodies = inner.map(_._2 + "\n")
+    val offsets = bodies.scanLeft(0)(_ + _.length)
+    val header = inner.zip(offsets).map { case ((num, _), off) => s"$num $off" }.mkString(" ") + "\n"
+    val objStmData = (header + bodies.mkString).getBytes(ISO_8859_1)
+    val first = header.length
+    val off6 = out.size()
+    w(s"6 0 obj\n<< /Type /ObjStm /N ${inner.length} /First $first /Length ${objStmData.length} >>\nstream\n")
+    out.write(objStmData)
+    w("\nendstream\nendobj\n")
+
+    // xref stream: W [1 4 2]; entries 0..7
+    val xrefPos = out.size()
+    val entries = new ByteArrayOutputStream()
+    def entry(tpe: Int, f2: Int, f3: Int): Unit = {
+      entries.write(tpe)
+      entries.write((f2 >>> 24) & 0xFF); entries.write((f2 >>> 16) & 0xFF)
+      entries.write((f2 >>> 8) & 0xFF); entries.write(f2 & 0xFF)
+      entries.write((f3 >>> 8) & 0xFF); entries.write(f3 & 0xFF)
+    }
+    entry(0, 0, 0xFFFF)                  // 0: free
+    (0 until 4).foreach(i => entry(2, 6, i)) // 1-4: in ObjStm 6, index i
+    entry(1, off5, 0)                    // 5: content stream
+    entry(1, off6, 0)                    // 6: the ObjStm
+    entry(1, xrefPos, 0)                 // 7: this xref stream
+    val data = entries.toByteArray
+    w(s"7 0 obj\n<< /Type /XRef /Size 8 /W [ 1 4 2 ] /Root 1 0 R /Length ${data.length} >>\nstream\n")
+    out.write(data)
+    w(s"\nendstream\nendobj\nstartxref\n$xrefPos\n%%EOF\n")
+    out.toByteArray
+  }
+
   private def contentFor(lines: Seq[String], useTJ: Boolean): Array[Byte] = {
     val sb = new StringBuilder
     if (lines.nonEmpty) {

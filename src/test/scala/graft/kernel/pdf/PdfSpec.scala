@@ -143,6 +143,20 @@ class PdfSpec extends AnyFunSuite {
     assert(PdfExtract.extractText(pdf) === Some("xref stream page\n\n\nsecond page\n"))
   }
 
+  test("ObjStm + xref-stream type-2 entries parse via the fast path (PDF 1.5 compressed layout)") {
+    val pdf = MiniPdf.buildObjStmXref(Seq("compressed object stream page", "line two"))
+    val (doc, info) = PdfDocument.loadWithInfo(pdf).get
+    assert(info.method === "xref", s"expected xref path, got $info")
+    assert(doc.pageTexts === Seq("compressed object stream page\nline two\n"))
+    // brute-scan fallback agrees (corrupt the startxref)
+    val s = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val corrupted = (s.substring(0, s.lastIndexOf("startxref")) + "startxref\n0\n%%EOF\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val (doc2, info2) = PdfDocument.loadWithInfo(corrupted).get
+    assert(info2.method === "scan")
+    assert(doc2.pageTexts === doc.pageTexts)
+  }
+
   test("non-PDF and corrupt inputs return None, never throw") {
     assert(PdfExtract.extractText("not a pdf".getBytes) === None)
     assert(PdfExtract.extractText(Array.emptyByteArray) === None)
