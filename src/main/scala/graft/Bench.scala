@@ -172,11 +172,15 @@ object Bench {
     val pb = new ProcessBuilder(cmd)
     pb.redirectErrorStream(true)
     val proc = pb.start()
-    val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines()
+    // drain the WHOLE stream before waitFor: stopping at the first
+    // CHILD_RESULT line leaves the child's shutdown logging filling the OS
+    // pipe buffer, deadlocking parent (in waitFor) against child (in write)
+    val lines = scala.io.Source.fromInputStream(proc.getInputStream).getLines()
       .map { l => System.err.println(s"[child-$cpus] $l"); l }
-      .find(_.startsWith("CHILD_RESULT"))
+      .toList
     proc.waitFor()
-    out.map(_.split(" ").last.toDouble).getOrElse(-1.0)
+    lines.find(_.startsWith("CHILD_RESULT"))
+      .map(_.split(" ").last.toDouble).getOrElse(-1.0)
   }
 
   def main(args: Array[String]): Unit = {
@@ -218,53 +222,69 @@ object Bench {
       if (!doScaling) ""
       else {
         val rows = math.min(benchRows, 50000L)
-        // up to 4 interleaved (8, 32) rounds within a wall-clock budget (the
-        // driver has its own timeout — a throttled host must not starve the
-        // rest of the artifact); each round is stamped with the host canary
-        // so a throttled round is self-evident; stop early once a credible
-        // round shows the target efficiency
-        val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_SEC", "300").toLong
+        // Interleaved pinned (8, 32) rounds, bounded by ROUND COUNT (not
+        // wall-clock alone — round 2's artifact was starved down to a single
+        // throttled round). A round is "quiet" when the host canaries around
+        // BOTH children stay near quiet-reference (single-thread < 1.5x 0.04,
+        // 32-thread < 2.5x 0.01); only a quiet round can be the round of
+        // record, and the artifact says so explicitly via scaling_evidence
+        // so a throttled run can never print a misleading efficiency as the
+        // headline. Early-exit on the first quiet round; otherwise keep
+        // going up to maxRounds (always at least 2), budget-gated after that.
+        val maxRounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "6").toInt
+        val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_SEC", "600").toLong
+        val quietS = 0.06  // 1.5x single-thread quiet-ref 0.04
+        val quietP = 0.025 // 2.5x parallel quiet-ref 0.01
         val tStart = System.nanoTime()
         def elapsedSec: Long = (System.nanoTime() - tStart) / 1000000000L
-        val rounds = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
+        final case class Round(d8: Double, d32: Double, cs: Seq[Double], cp: Seq[Double]) {
+          def eff: Double = (d32 / d8) / 4.0
+          def quiet: Boolean = cs.forall(_ < quietS) && cp.forall(_ < quietP)
+        }
+        val rounds = scala.collection.mutable.ArrayBuffer.empty[Round]
         var r = 0
-        var done = false
-        while (r < 4 && !done && (r == 0 || elapsedSec < budgetSec)) {
-          val c = hostCanary()
+        var quietFound = false
+        while (!quietFound && (r < 2 || (r < maxRounds && elapsedSec < budgetSec))) {
+          // canary before / between / after the two children: a phase flip
+          // BETWEEN d8 and d32 (observed) invalidates the ratio, so a quiet
+          // verdict needs all three single-thread probes quiet
+          val c0 = hostCanary(); val p0 = hostCanaryParallel()
           val d8 = runPinnedChild(8, rows)
+          val c1 = hostCanary()
           val d32 = runPinnedChild(32, rows)
+          val c2 = hostCanary(); val p1 = hostCanaryParallel()
           if (d8 > 0 && d32 > 0) {
-            rounds += ((d8, d32, c))
-            val eff = (d32 / d8) / 4.0
-            if (eff >= 0.75 && c < 0.07) done = true
+            val round = Round(d8, d32, Seq(c0, c1, c2), Seq(p0, p1))
+            rounds += round
+            System.err.println(f"[scaling round $r] d8=${d8.round} d32=${d32.round} eff=${round.eff}%.3f quiet=${round.quiet} cs=${round.cs.map(c => f"$c%.3f").mkString(",")} cp=${round.cp.map(c => f"$c%.3f").mkString(",")}")
+            if (round.quiet) quietFound = true
           }
           r += 1
         }
         if (rounds.isEmpty) ""
         else {
-          // round of record = the one with the best 32-way number: d32 is
-          // the headline scale, and a best-combined rule can be fooled when
-          // the host phase flips BETWEEN the two children of a round
-          // (observed: d8=19.4k then d32=10.1k minutes later)
-          val (d8, d32, cBest) = rounds.maxBy(_._2)
-          val roundsJson = rounds.map { case (a, b, c) =>
-            s"""{"d8":${a.round},"d32":${b.round},"eff":${"%.3f".format((b / a) / 4.0)},"canary_sec":${"%.4f".format(c)}}"""
+          // round of record: the quiet round if one exists (evidence "ok"),
+          // else the round with the best d32 (evidence "inconclusive" — the
+          // host never gave a clean window; the efficiency number then
+          // describes the throttle, not the code)
+          val record = rounds.find(_.quiet).getOrElse(rounds.maxBy(_.d32))
+          val evidence = if (record.quiet) "ok" else "inconclusive"
+          val roundsJson = rounds.map { rd =>
+            s"""{"d8":${rd.d8.round},"d32":${rd.d32.round},"eff":${"%.3f".format(rd.eff)},"quiet":${rd.quiet},"canary_sec":${rd.cs.map(c => "%.4f".format(c)).mkString("[", ",", "]")},"canary32_sec":${rd.cp.map(c => "%.4f".format(c)).mkString("[", ",", "]")}}"""
           }.mkString("[", ",", "]")
-          val eff = (d32 / d8) / 4.0
-          val throttled = cBest > 0.07
           // When the host is throttled down to ~8 effective cores, an 8->32
           // comparison physically cannot show scaling (d8 ~= d32). A (2, 8)
           // pair is the same N-vs-4N criterion at a scale the crippled host
           // can still express — run one round as secondary evidence.
           val small =
-            if (eff < 0.5 && throttled && elapsedSec < budgetSec) {
+            if (evidence == "inconclusive" && elapsedSec < budgetSec + 120) {
               val d2 = runPinnedChild(2, rows)
               val d8b = runPinnedChild(8, rows)
               if (d2 > 0 && d8b > 0)
                 s""","scaling_2_to_8":{"docs_per_sec_2":${d2.round},"docs_per_sec_8":${d8b.round},"efficiency":${"%.3f".format((d8b / d2) / 4.0)}}"""
               else ""
             } else ""
-          s""","scaling":{"docs_per_sec_8":${d8.round},"docs_per_sec_32":${d32.round},"efficiency":${"%.3f".format(eff)},"rows":$rows,"host_throttled":$throttled,"rounds":$roundsJson$small}"""
+          s""","scaling":{"docs_per_sec_8":${record.d8.round},"docs_per_sec_32":${record.d32.round},"efficiency":${"%.3f".format(record.eff)},"rows":$rows,"scaling_evidence":"$evidence","host_throttled":${!record.quiet},"round_of_record":${rounds.indexOf(record)},"rounds":$roundsJson$small}"""
         }
       }
 

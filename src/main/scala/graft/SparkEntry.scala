@@ -275,12 +275,14 @@ object SparkEntry {
     //       recall baseline; both are oracled (only planted pairs can reach
     //       the 0.999 threshold on near-orthogonal random embeddings). -----
     "q_embed_neardup" -> ((s, dir) => {
-      // brute recall baseline on a bounded slice (vec_id % 4): all-pairs at
-      // full scale is exactly what the LSH path below exists to avoid.
+      // brute recall baseline bounded by COUNT, not fraction: a deterministic
+      // ORDER BY vec_id LIMIT 2000 caps the self-join at O(k^2) pairs no
+      // matter how large the corpus grows (a %-of-corpus slice would still
+      // be quadratic at 100x scale). The LSH variant below is the scale path.
       // Norms are precomputed per ROW (sqrt(dot(v,v)) is a deterministic
       // function of the row, so the per-pair cosine is the same IEEE value
       // the oracle computes inline — but 3x cheaper).
-      val emb = tbl(s, dir, "embeddings").filter(col("vec_id") % 4 === 0)
+      val emb = tbl(s, dir, "embeddings").orderBy("vec_id").limit(2000)
       val base = emb.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("embedding"))
       val scaled = emb.filter(col("vec_id") % 100 === 0)
@@ -440,18 +442,24 @@ object SparkEntry {
     })
   )
 
-  // Planted-dup cosine oracle shared by the brute and LSH variants: scaled
-  // copies are the only pairs that can reach 0.999 on near-orthogonal
-  // random embeddings, and positive scaling cannot change a sign-LSH bucket,
-  // so the LSH candidate set provably contains every qualifying pair.
-  private lazy val embedNearDupOracle: String = {
+  // Planted-dup cosine oracles: scaled copies are the only pairs that can
+  // reach 0.999 on near-orthogonal random embeddings, and positive scaling
+  // cannot change a sign-LSH bucket, so the LSH candidate set provably
+  // contains every qualifying pair. The brute variant's corpus is bounded by
+  // COUNT (ORDER BY vec_id LIMIT 2000 — O(k^2) pairs at any scale); the LSH
+  // variant keeps the %4 slice (its bucket join never goes all-pairs).
+  private def embedNearDupOracleFor(baseSel: String, scaledWhere: String): String = {
     def dotD(a: String, b: String) =
       s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
-    """WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE vec_id % 4 = 0), """ +
-      """scaled AS (SELECT vec_id + 1000000 AS vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.5) AS embedding FROM embeddings WHERE vec_id % 100 = 0), """ +
+    s"""WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM $baseSel), """ +
+      s"""scaled AS (SELECT vec_id + 1000000 AS vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.5) AS embedding FROM base WHERE $scaledWhere), """ +
       """c AS (SELECT * FROM base UNION ALL SELECT * FROM scaled) """ +
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM c a, c b WHERE a.vec_id < b.vec_id AND ${dotD("a.embedding", "b.embedding")} / (sqrt(${dotD("a.embedding", "a.embedding")}) * sqrt(${dotD("b.embedding", "b.embedding")}) + 1e-12) >= 0.999 ORDER BY id_a, id_b"""
   }
+  private lazy val embedNearDupOracleBrute: String =
+    embedNearDupOracleFor("(SELECT * FROM embeddings ORDER BY vec_id LIMIT 2000)", "vec_id % 100 = 0")
+  private lazy val embedNearDupOracleLsh: String =
+    embedNearDupOracleFor("embeddings WHERE vec_id % 4 = 0", "vec_id % 100 = 0")
 
   def oracleSql: Map[String, String] = Map(
     "q_dedup_keepers" ->
@@ -516,14 +524,19 @@ object SparkEntry {
       """CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 64 + (doc_id * 53) % 1080 END AS height, """ +
       """CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 + doc_id % 4 END AS channels, """ +
       """CASE WHEN doc_id % 4 = 2 THEN 1000 + (doc_id * 97) % 60000 ELSE 0 END AS duration_ms, """ +
-      """length(text) AS payload_bytes, """ +
+      """octet_length(encode(text)) AS payload_bytes, """ +
       """CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END AS valid, """ +
       """CASE WHEN doc_id % 4 = 2 THEN least(64, (1000 + (doc_id * 97) % 60000 + 999) // 1000) ELSE 0 END AS n_frames """ +
       """FROM documents ORDER BY media_id"""),
+    // NOTE: this oracle returns `text` verbatim while the kernel applies
+    // text-mode universal-newline translation (CRLF/CR -> LF) and blank ->
+    // null; parity holds because testdata documents.text is verified
+    // ASCII-only, CR-free and non-blank (EntrySpec pins that invariant so a
+    // future testdata change fails loudly there, not as a hash mystery here).
     "q_extract_text" ->
       "SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, 'other' AS doc_type, text AS extracted_text FROM documents ORDER BY url",
-    "q_embed_neardup" -> embedNearDupOracle,
-    "q_embed_neardup_lsh" -> embedNearDupOracle,
+    "q_embed_neardup" -> embedNearDupOracleBrute,
+    "q_embed_neardup_lsh" -> embedNearDupOracleLsh,
     "q_token_bpe" ->
       s"""SELECT doc_id, len(regexp_extract_all(text, '${BpeishPattern.replace("'", "''")}')) AS n_pieces FROM documents ORDER BY doc_id""",
     "q_ngram_jaccard" ->

@@ -236,6 +236,53 @@ object MiniPdf {
     out.toByteArray
   }
 
+  /** Hybrid-reference incremental update (PDF 7.5.8.4): the base file is a
+    * classic-xref PDF whose page shows `oldLine`; the appended update
+    * replaces the content stream (object 5) with `newLine`, records the new
+    * offset ONLY in a cross-reference STREAM, and points at it from the
+    * update's classic trailer via /XRefStm (with /Prev to the base table).
+    * A conforming reader must consult the XRefStm before the Prev chain and
+    * extract `newLine`; reading Prev first resurrects the stale object. */
+  def buildHybridUpdate(oldLine: String, newLine: String): Array[Byte] = {
+    val base = build(Seq(Seq(oldLine)), compress = false)
+    val baseStr = new String(base, ISO_8859_1)
+    val oldXref = {
+      val m = "startxref\\s+(\\d+)".r.findAllMatchIn(baseStr).toSeq.last
+      m.group(1).toInt
+    }
+    val out = new ByteArrayOutputStream()
+    out.write(base)
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    // new generation of the content stream (object 5), top-level
+    val content = contentFor(Seq(newLine), useTJ = false)
+    val off5 = out.size()
+    w(s"5 0 obj\n<< /Length ${content.length} >>\nstream\n")
+    out.write(content)
+    w("\nendstream\nendobj\n")
+    // hybrid xref stream (object 6): type-1 entries for 5 (new offset) and 6
+    val off6 = out.size()
+    val entries = new ByteArrayOutputStream()
+    def entry(tpe: Int, f2: Int, f3: Int): Unit = {
+      entries.write(tpe)
+      entries.write((f2 >>> 24) & 0xFF); entries.write((f2 >>> 16) & 0xFF)
+      entries.write((f2 >>> 8) & 0xFF); entries.write(f2 & 0xFF)
+      entries.write((f3 >>> 8) & 0xFF); entries.write(f3 & 0xFF)
+    }
+    entry(1, off5, 0)
+    entry(1, off6, 0)
+    val data = entries.toByteArray
+    w(s"6 0 obj\n<< /Type /XRef /Size 7 /W [ 1 4 2 ] /Index [ 5 2 ] " +
+      s"/Root 1 0 R /Length ${data.length} >>\nstream\n")
+    out.write(data)
+    w("\nendstream\nendobj\n")
+    // the update's classic table: EMPTY (hidden objects live in the XRefStm)
+    val newTable = out.size()
+    w("xref\n0 1\n0000000000 65535 f \n")
+    w(s"trailer\n<< /Size 7 /Root 1 0 R /Prev $oldXref /XRefStm $off6 >>\n" +
+      s"startxref\n$newTable\n%%EOF\n")
+    out.toByteArray
+  }
+
   private def contentFor(lines: Seq[String], useTJ: Boolean): Array[Byte] = {
     val sb = new StringBuilder
     if (lines.nonEmpty) {

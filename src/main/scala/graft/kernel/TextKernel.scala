@@ -211,17 +211,22 @@ object TextKernel {
       val chunkEnd = math.min(bytes.length, consumed + TextIoChunk)
       in.limit(chunkEnd)
       out.clear()
+      // cpCount is computed in exactly one place (a held \r counts as the
+      // one code point it will eventually materialize as) so the overflow
+      // and normal paths can never disagree on the cap test
+      def recount(): Unit =
+        cpCount = sb.codePointCount(0, sb.length) + (if (pendingCr) 1 else 0)
       var res = dec.decode(in, out, false)
       while (res.isOverflow) { // chunk produced more chars than buffer — grow via flush-to-sb
         out.flip()
-        pendingCr = appendTranslated(sb, out, pendingCr); cpCount = sb.codePointCount(0, sb.length)
+        pendingCr = appendTranslated(sb, out, pendingCr); recount()
         out.clear()
         res = dec.decode(in, out, false)
       }
       if (res.isError) return Left(())
       out.flip()
       pendingCr = appendTranslated(sb, out, pendingCr)
-      cpCount = sb.codePointCount(0, sb.length) + (if (pendingCr) 1 else 0)
+      recount()
       consumed = chunkEnd
     }
     if (consumed >= bytes.length) {

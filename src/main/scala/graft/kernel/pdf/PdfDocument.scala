@@ -290,8 +290,13 @@ object PdfDocument {
             lex.pos += 7
             lex.parseObj() match {
               case d: PDict =>
-                d.get("Prev").foreach { case PNum(p) => queue += p.toInt; case _ => }
+                // hybrid-reference precedence (PDF 7.5.8.4): the /XRefStm is
+                // consulted BEFORE the /Prev chain — its entries (including
+                // type-2 in-ObjStm entries, which mark `seen`) must shadow
+                // stale offsets in older update sections, or an incremental
+                // update silently resurrects the pre-update object
                 d.get("XRefStm").foreach { case PNum(p) => queue += p.toInt; case _ => }
+                d.get("Prev").foreach { case PNum(p) => queue += p.toInt; case _ => }
               case _ =>
             }
           }

@@ -126,6 +126,8 @@ object Dedup {
   final case class Sig(id: Long, sig: Array[Long])
   final case class BandRow(id: Long, band: Int, bucket: Long, sig: Array[Long])
   final case class Pair(id_a: Long, id_b: Long, est_jaccard: Double)
+  final case class Member(id: Long, sig: Array[Long])
+  final case class Bucket(n: Long, members: Array[Member])
 
   /** (id, text) -> signatures, computed by the codegen'd Catalyst
     * expression (graft.functions.MinHashSignature) directly over the scan:
@@ -182,35 +184,39 @@ object Dedup {
     val dropped = spark.sparkContext.longAccumulator("graft.lsh.droppedBucketMembers")
     val rowsPerBand = numPerms / bands
     val sigs = signatures(df, idCol, textCol, numPerms, shingle, seed)
-    val bandsDs = bandRows(sigs, bands, rowsPerBand)
-    val pairs = bandsDs
-      .groupByKey(r => (r.band, r.bucket))
-      .flatMapGroups { (_: (Int, Long), it: Iterator[BandRow]) =>
-        val buf = new scala.collection.mutable.ArrayBuffer[BandRow](16)
-        var over = 0L
-        while (it.hasNext) {
-          val r = it.next()
-          if (buf.length < maxBucket) buf += r else over += 1
-        }
-        if (over > 0) dropped.add(over)
-        val members = buf.toArray
-        if (members.length < 2) Iterator.empty
-        else {
-          val out = Seq.newBuilder[Pair]
-          var i = 0
-          while (i < members.length) {
-            var j = i + 1
-            while (j < members.length) {
-              val (x, y) =
-                if (members(i).id < members(j).id) (members(i), members(j))
-                else (members(j), members(i))
-              val est = estimateJaccard(x.sig, y.sig)
-              if (est >= threshold && x.id != y.id) out += Pair(x.id, y.id, est)
-              j += 1
+    // DataFrame groupBy, not typed groupByKey: the exchange then carries
+    // Tungsten rows (sig stays UnsafeArrayData end to end — no per-row
+    // Array[Long] deserialization in the shuffle); the cap is a slice over
+    // the collected bucket, with count(*) preserving the overflow signal
+    val buckets = bandRows(sigs, bands, rowsPerBand).toDF()
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        slice(collect_list(struct(col("id"), col("sig"))), 1, maxBucket).as("members"))
+      .select(col("n"), col("members"))
+      .as[Bucket]
+    val pairs = buckets
+      .mapPartitions { it =>
+        it.flatMap { b =>
+          val members = b.members
+          if (b.n > members.length) dropped.add(b.n - members.length)
+          if (members.length < 2) Iterator.empty
+          else {
+            val out = Seq.newBuilder[Pair]
+            var i = 0
+            while (i < members.length) {
+              var j = i + 1
+              while (j < members.length) {
+                val (x, y) =
+                  if (members(i).id < members(j).id) (members(i), members(j))
+                  else (members(j), members(i))
+                val est = estimateJaccard(x.sig, y.sig)
+                if (est >= threshold && x.id != y.id) out += Pair(x.id, y.id, est)
+                j += 1
+              }
+              i += 1
             }
-            i += 1
+            out.result().iterator
           }
-          out.result().iterator
         }
       }
       .dropDuplicates("id_a", "id_b")

@@ -56,15 +56,19 @@ object Similarity {
    * IVF coarse quantizer: k-means centroids trained on a bounded,
    * deterministically-ordered sample on the DRIVER (standard IVF practice —
    * the model is a few KB; the corpus never leaves the executors). The
-   * centroid state is data-dependent, so assignment is a broadcast + UDF
-   * (unlike the stateless sign-LSH, which is a pure codegen expression).
+   * centroid state is data-dependent, so assignment cannot be a stateless
+   * codegen expression (unlike sign-LSH); it runs as a typed mapPartitions
+   * with the broadcast centroid matrix — the Array[Float] encoder does a
+   * bulk primitive copy (UnsafeArrayData.toFloatArray), no per-element
+   * boxing and no ScalaUDF node in the plan.
    */
   def trainCentroids(corpus: DataFrame, vecCol: String, nlist: Int,
                      sampleCap: Int = 4096, iters: Int = 10,
                      idCol: String = "vec_id"): Array[Array[Float]] = {
     val sample = corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol))
       .limit(sampleCap).collect()
-      .map(_.getSeq[Float](1).toArray).filter(_ != null)
+      .map(r => if (r.isNullAt(1)) null else r.getSeq[Float](1))
+      .filter(_ != null).map(_.toArray)
     require(sample.nonEmpty, "empty training sample")
     val k = math.min(nlist, sample.length)
     val dim = sample.head.length
@@ -117,16 +121,26 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding",
               queryIdCol: String = "query_id")
              (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
     val cents = trainCentroids(corpus, vecCol, nlist, idCol = idCol)
     val bc = spark.sparkContext.broadcast(cents)
-    val assignUdf = udf((v: Seq[Float]) =>
-      if (v == null) -1 else nearestCentroid(v.toArray, bc.value))
-    val probeUdf = udf((v: Seq[Float]) =>
-      if (v == null) Array(-1) else nearestCentroids(v.toArray, bc.value, nprobe))
-    val corpusB = corpus.select(col(idCol), col(vecCol))
-      .withColumn("cell", assignUdf(col(vecCol)))
-    val q = queries.select(col(queryIdCol), col(vecCol).as("q_vec"))
-      .withColumn("cell", explode(probeUdf(col("q_vec"))))
+    val corpusB = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) => (id, v, if (v == null) -1 else nearestCentroid(v, cs)) }
+      }
+      .toDF(idCol, vecCol, "cell")
+    val q = queries.select(col(queryIdCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (id, v) =>
+          val cells = if (v == null) Array(-1) else nearestCentroids(v, cs, nprobe)
+          cells.map(c => (id, v, c))
+        }
+      }
+      .toDF(queryIdCol, "q_vec", "cell")
     val joined = corpusB.join(broadcast(q), Seq("cell"))
       .filter(col(idCol) =!= col(queryIdCol))
       .withColumn("sim", cosine(col(vecCol), col("q_vec")))

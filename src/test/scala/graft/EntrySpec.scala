@@ -41,6 +41,21 @@ class EntrySpec extends AnyFunSuite {
     spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id").as[Long].collect().toSeq
   }
 
+  test("testdata documents.text is ASCII-only, CR-free and non-blank (oracle-parity invariant)") {
+    // q_extract_text's oracle returns text verbatim while the kernel applies
+    // newline translation and blank->null; q_media_features measures UTF-8
+    // byte length. Both are hash-exact ONLY under this invariant — pin it so
+    // a testdata change fails here with a name, not as a hash mystery.
+    import spark.implicits._
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val bad = spark.read.parquet(s"$dir/documents.parquet")
+        .select("text").as[String]
+        .filter(t => t == null || t.trim.isEmpty || t.exists(c => c > 0x7E || c == '\r'))
+        .count()
+      assert(bad === 0L, s"$dir violates the ASCII/CR-free/non-blank invariant")
+    }
+  }
+
   test("q_minhash_pairs recovers every planted near-dup pair") {
     val planted = docIds.filter(_ % 20 == 0).map(i => (i, i + 1000000L)).toSet
     val found = SparkEntry.queries("q_minhash_pairs")(spark, sfDir).collect()

@@ -129,6 +129,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"resume scan reads text columns:\n$readSchemas")
   }
 
+  test("q_ann_ivf plan has no ScalaUDF node (assignment is typed mapPartitions)") {
+    val plan = planOf(SparkEntry.queries("q_ann_ivf")(spark, sf))
+    assert(!plan.contains("ScalaUDF") && !plan.toLowerCase.contains("batchevalpython"),
+      s"IVF assignment fell back to a UDF:\n$plan")
+  }
+
+  test("minhash LSH bucket grouping is a DataFrame aggregate (no typed groupByKey exchange)") {
+    implicit val sp: SparkSession = spark
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select(col("doc_id"), col("text"))
+    val plan = planOf(
+      graft.operators.Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.6).toDF())
+    // typed groupByKey materializes an AppendColumns + keys-prefixed exchange;
+    // the DataFrame groupBy(band,bucket) path must show an ObjectHashAggregate
+    // (collect_list) and no AppendColumns node
+    assert(!plan.contains("AppendColumns"), s"typed groupByKey leaked back in:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"bucket aggregation missing:\n$plan")
+  }
+
   test("aggregates use partial (map-side) aggregation") {
     val plan = planOf(SparkEntry.queries("q_lang_stats")(spark, sf))
     // two HashAggregate nodes: partial + final

@@ -157,6 +157,16 @@ class PdfSpec extends AnyFunSuite {
     assert(doc2.pageTexts === doc.pageTexts)
   }
 
+  test("hybrid incremental update: /XRefStm entries shadow the /Prev chain") {
+    val pdf = MiniPdf.buildHybridUpdate("stale pre-update text", "fresh updated text")
+    val (doc, info) = PdfDocument.loadWithInfo(pdf).get
+    assert(info.method === "xref", s"expected xref path, got $info")
+    // the update recorded object 5's new offset only in the xref STREAM;
+    // reading /Prev before /XRefStm would resurrect the stale content
+    assert(doc.pageTexts === Seq("fresh updated text\n"))
+    assert(PdfExtract.extractText(pdf) === Some("fresh updated text\n"))
+  }
+
   test("non-PDF and corrupt inputs return None, never throw") {
     assert(PdfExtract.extractText("not a pdf".getBytes) === None)
     assert(PdfExtract.extractText(Array.emptyByteArray) === None)
