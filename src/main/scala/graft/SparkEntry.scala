@@ -541,6 +541,30 @@ object SparkEntry {
       s"""SELECT doc_id, len(regexp_extract_all(text, '${BpeishPattern.replace("'", "''")}')) AS n_pieces FROM documents ORDER BY doc_id""",
     "q_ngram_jaccard" ->
       s"""WITH g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams FROM (SELECT doc_id, regexp_extract_all(lower(text), '$NonWs+') AS w FROM documents) WHERE len(w) >= 3) SELECT a.doc_id AS id_a, b.doc_id AS id_b, len(list_intersect(a.grams, b.grams)) AS inter_cnt, len(list_distinct(list_concat(a.grams, b.grams))) AS union_cnt FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id < 50 ORDER BY id_a""",
+    // Frozen expected tables for the dedup operators whose hash kernels are
+    // not DuckDB-expressible: tools/gen_expected.py reimplements the
+    // documented algorithms independently (Python/numpy, brute-force full
+    // grouping / all-pairs — no shared code with the Scala kernels) and
+    // freezes the expected outputs per corpus. The corpus_tag is a content
+    // probe (count + total text length): sf0.001 and sf0.01 both have 500
+    // documents rows with different texts, so a row count alone would pick
+    // the wrong slice.
+    "q_minhash_pairs" ->
+      ("SELECT id_a, id_b FROM read_parquet('/root/repo/fixtures/expected/minhash_pairs.parquet') " +
+        "WHERE corpus_tag = (SELECT count(*) || '-' || sum(length(text)) FROM documents) ORDER BY id_a, id_b"),
+    "q_simhash_pairs" ->
+      ("SELECT id_a, id_b, hamming FROM read_parquet('/root/repo/fixtures/expected/simhash_pairs.parquet') " +
+        "WHERE corpus_tag = (SELECT count(*) || '-' || sum(length(text)) FROM documents) ORDER BY id_a, id_b"),
+    "q_dedup_collapse" ->
+      ("SELECT doc_id FROM read_parquet('/root/repo/fixtures/expected/dedup_collapse.parquet') " +
+        "WHERE corpus_tag = (SELECT count(*) || '-' || sum(length(text)) FROM documents) ORDER BY doc_id"),
+    // Status rollup over the deterministic PageGen-2000 corpus: the corpus is
+    // SF-independent, so the expected counts are frozen literals (regression
+    // pin; the underlying per-document byte-identity vs CPython is enforced
+    // by GoldenCorpusSpec, not by this rollup).
+    "q_extract_status" ->
+      ("SELECT * FROM (VALUES ('done','html',1183), ('done','other',302), ('done','pdf',306), " +
+        "('done_empty','other',201), ('done_empty','pdf',8)) AS t(status, doc_type, n) ORDER BY status, doc_type"),
     "q_lang_id" ->
       """SELECT doc_id, len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|with|was)\b')) AS s_en, len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b')) AS s_de, len(regexp_extract_all(lower(text), '\b(el|la|los|las|de|que|es|en|un|una)\b')) AS s_es, CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en' WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS lang_guess FROM documents ORDER BY doc_id"""
   )

@@ -186,12 +186,20 @@ object Dedup {
     val sigs = signatures(df, idCol, textCol, numPerms, shingle, seed)
     // DataFrame groupBy, not typed groupByKey: the exchange then carries
     // Tungsten rows (sig stays UnsafeArrayData end to end — no per-row
-    // Array[Long] deserialization in the shuffle); the cap is a slice over
-    // the collected bucket, with count(*) preserving the overflow signal
+    // Array[Long] deserialization in the shuffle). The cap is DETERMINISTIC:
+    // row_number over (band,bucket) ordered by id keeps the maxBucket
+    // SMALLEST ids (an arrival-order cap would make the output depend on
+    // task scheduling), the window's external sort bounds reducer memory on
+    // degenerate buckets, and the groupBy reuses the window's partitioning —
+    // still exactly one exchange. count(*) preserves the overflow signal.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket")).orderBy(col("id"))
     val buckets = bandRows(sigs, bands, rowsPerBand).toDF()
+      .withColumn("rn", row_number().over(w))
       .groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("n"),
-        slice(collect_list(struct(col("id"), col("sig"))), 1, maxBucket).as("members"))
+        collect_list(when(col("rn") <= maxBucket,
+          struct(col("id"), col("sig")))).as("members"))
       .select(col("n"), col("members"))
       .as[Bucket]
     val pairs = buckets
