@@ -236,6 +236,48 @@ object MiniPdf {
     out.toByteArray
   }
 
+  /** Helvetica AFM advance widths for codes 32..126 (public Adobe core-14
+    * metrics), in glyph-space thousandths. */
+  val HelveticaWidths: Array[Int] = Array(
+    278, 278, 355, 556, 556, 889, 667, 191, 333, 333, 389, 584, 278, 333,
+    278, 278, 556, 556, 556, 556, 556, 556, 556, 556, 556, 556, 278, 278,
+    584, 584, 584, 556, 1015, 667, 667, 722, 722, 667, 611, 778, 722, 278,
+    500, 667, 556, 833, 722, 778, 667, 778, 722, 667, 611, 722, 667, 944,
+    667, 667, 611, 278, 278, 278, 469, 556, 333, 556, 556, 500, 556, 556,
+    278, 556, 556, 222, 222, 500, 222, 833, 556, 556, 556, 556, 333, 500,
+    278, 556, 500, 722, 500, 500, 500, 334, 260, 334, 584)
+
+  /** Text-space width (thousandths) of `s` under HelveticaWidths. */
+  def helveticaWidth(s: String): Int =
+    s.map(c => if (c >= 32 && c <= 126) HelveticaWidths(c - 32) else 500).sum
+
+  /** One page with a RAW content stream and a simple font carrying
+    * /FirstChar 32 /Widths (Helvetica metrics) — the fixture domain for
+    * glyph-advance modeling (split runs, kern jitter, real word gaps). */
+  def buildWithWidths(content: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    def beginObj(num: Int): Unit = { offsets += out.size(); w(s"$num 0 obj\n") }
+    w("%PDF-1.4\n")
+    beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    beginObj(2); w("<< /Type /Pages /Kids [ 4 0 R ] /Count 1 >>\nendobj\n")
+    beginObj(3)
+    w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding " +
+      s"/FirstChar 32 /LastChar 126 /Widths [ ${HelveticaWidths.mkString(" ")} ] >>\nendobj\n")
+    beginObj(4)
+    w("<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+      "/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>\nendobj\n")
+    val body = content.getBytes(ISO_8859_1)
+    beginObj(5)
+    w(s"<< /Length ${body.length} >>\nstream\n"); out.write(body); w("\nendstream\nendobj\n")
+    val xrefPos = out.size()
+    w("xref\n0 6\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** Hybrid-reference incremental update (PDF 7.5.8.4): the base file is a
     * classic-xref PDF whose page shows `oldLine`; the appended update
     * replaces the content stream (object 5) with `newLine`, records the new

@@ -9,9 +9,10 @@ import PdfParser._
  *
  *  - /ToUnicode CMap streams (bfchar + bfrange, 1- and 2-byte codespaces)
  *    take precedence when present — the spec-blessed extraction path;
- *  - simple fonts: /Encoding as a name (WinAnsiEncoding fully mapped,
- *    MacRomanEncoding approximated, StandardEncoding ~ ASCII) or a dict
- *    with /BaseEncoding + /Differences over an Adobe-glyph-list subset
+ *  - simple fonts: /Encoding as a name (WinAnsiEncoding and
+ *    MacRomanEncoding fully mapped per PDF 32000 Annex D,
+ *    StandardEncoding ~ ASCII) or a dict with /BaseEncoding +
+ *    /Differences over an Adobe-glyph-list subset
  *    (incl. uniXXXX / uXXXX[XX] names);
  *  - Type0 (composite) fonts: 2-byte codes (Identity-H assumption), decoded
  *    through the ToUnicode CMap; without a CMap the codes are unmappable
@@ -21,18 +22,52 @@ import PdfParser._
  */
 object Fonts {
 
-  /** Decoder for one font's show-string bytes. */
+  /** One decoded show-string: text plus the advance-width inputs the
+    * interpreter needs (PDF 9.4.4): sum of glyph widths in glyph-space
+    * thousandths, glyph count (for Tc) and single-byte-code-32 count
+    * (for Tw). */
+  final case class DecodedRun(text: String, widthSum: Double,
+                              glyphs: Int, spaces: Int)
+
+  /** Decoder for one font's show-string bytes. Width sources, in the spec's
+    * order: simple fonts /FirstChar + /Widths (+ /MissingWidth from the
+    * descriptor for out-of-range codes); Type0 fonts the descendant CIDFont
+    * /W ranges with /DW default 1000. Fonts carrying no width info report
+    * hasWidths=false and a flat 500/glyph estimate (the interpreter's
+    * legacy assumption — explicit positioning dominates there). */
   final class FontDecoder(val twoByte: Boolean,
                           toUnicode: java.util.HashMap[Integer, String],
-                          simple: Array[String]) {
-    def decode(bytes: Array[Byte]): String = {
+                          simple: Array[String],
+                          widths: Array[Double] = null,
+                          cidWidths: java.util.HashMap[Integer, java.lang.Double] = null,
+                          missingWidth: Double = 0.0,
+                          defaultWidth: Double = 1000.0) {
+    val hasWidths: Boolean = widths != null || cidWidths != null
+
+    private def widthOf(code: Int): Double =
+      if (widths != null) {
+        val w = if (code >= 0 && code < widths.length) widths(code) else -1.0
+        if (w >= 0) w else missingWidth
+      } else if (cidWidths != null) {
+        val w = cidWidths.get(code)
+        if (w != null) w.doubleValue() else defaultWidth
+      } else 500.0
+
+    def decode(bytes: Array[Byte]): String = decodeRun(bytes).text
+
+    def decodeRun(bytes: Array[Byte]): DecodedRun = {
       val sb = new java.lang.StringBuilder(bytes.length)
+      var widthSum = 0.0
+      var glyphs = 0
+      var spaces = 0
       if (twoByte) {
         var i = 0
         while (i + 1 < bytes.length) {
           val code = ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF)
           val u = if (toUnicode != null) toUnicode.get(code) else null
           if (u != null) sb.append(u)
+          widthSum += widthOf(code)
+          glyphs += 1
           i += 2
         }
       } else {
@@ -43,10 +78,13 @@ object Fonts {
           if (u != null) sb.append(u)
           else if (simple != null) { val s = simple(code); if (s != null) sb.append(s) }
           else sb.append(code.toChar) // latin-1 legacy
+          widthSum += widthOf(code)
+          glyphs += 1
+          if (code == 32) spaces += 1 // Tw applies to single-byte code 32 only
           i += 1
         }
       }
-      sb.toString
+      DecodedRun(sb.toString, widthSum, glyphs, spaces)
     }
   }
 
@@ -80,11 +118,28 @@ object Fonts {
     t
   }
 
-  /** MacRomanEncoding: ASCII identity + the common accented upper half. */
+  /** MacRomanEncoding, exact per PDF 32000 Annex D.2 / Mac OS Roman:
+    * one string per 16-code row of the upper half. Deliberate choices the
+    * old approximation got wrong: 0xDB is CURRENCY SIGN (PDF's
+    * MacRomanEncoding predates the Mac OS euro revision), 0xF0 is the
+    * Apple logo (AGLFN "apple" -> U+F8FF private use) — the old table
+    * omitted it and shifted 0xF1..0xFF down by one. 0xCA is the no-break
+    * space, extracted as U+00A0. */
   private lazy val macRoman: Array[String] = {
     val t = standard.clone()
-    val upper = "ÄÅÇÉÑÖÜáàâäãåçéèêëíìîïñóòôöõúùûü†°¢£§•¶ß®©™´¨≠ÆØ∞±≤≥¥µ∂∑∏π∫ªºΩæø¿¡¬√ƒ≈∆«»… ÀÃÕŒœ–—“”‘’÷◊ÿŸ⁄€‹›ﬁﬂ‡·‚„‰ÂÊÁËÈÍÎÏÌÓÔÒÚÛÙıˆ˜¯˘˙˚¸˝˛ˇ"
-    (0 until math.min(upper.length, 128)).foreach(i => t(0x80 + i) = String.valueOf(upper(i)))
+    val rows = Seq(
+      "ÄÅÇÉÑÖÜáàâäãåçéè", // 0x80
+      "êëíìîïñóòôöõúùûü", // 0x90
+      "†°¢£§•¶ß®©™´¨≠ÆØ", // 0xA0
+      "∞±≤≥¥µ∂∑∏π∫ªºΩæø", // 0xB0
+      "¿¡¬√ƒ≈∆«»… ÀÃÕŒœ", // 0xC0
+      "–—“”‘’÷◊ÿŸ⁄¤‹›ﬁﬂ", // 0xD0
+      "‡·‚„‰ÂÊÁËÈÍÎÏÌÓÔ", // 0xE0
+      "ÒÚÛÙıˆ˜¯˘˙˚¸˝˛ˇ") // 0xF0
+    rows.zipWithIndex.foreach { case (row, r) =>
+      require(row.length == 16, s"MacRoman row $r has ${row.length} entries")
+      (0 until 16).foreach(i => t(0x80 + r * 16 + i) = String.valueOf(row.charAt(i)))
+    }
     t
   }
 
@@ -183,6 +238,76 @@ object Fonts {
     case _ => null
   }
 
+  /** Simple-font per-code advance widths: /FirstChar + /Widths, with
+    * /MissingWidth from the /FontDescriptor for out-of-range codes.
+    * Returns (table or null, missingWidth). */
+  private def simpleWidths(font: PDict, resolve: Obj => Obj): (Array[Double], Double) = {
+    val missing = resolve(font.get("FontDescriptor").getOrElse(PNull)) match {
+      case d: PDict => resolve(d.get("MissingWidth").getOrElse(PNull)) match {
+        case PNum(v) => v
+        case _ => 0.0
+      }
+      case _ => 0.0
+    }
+    val first = resolve(font.get("FirstChar").getOrElse(PNull)) match {
+      case PNum(v) => v.toInt
+      case _ => -1
+    }
+    val table = resolve(font.get("Widths").getOrElse(PNull)) match {
+      case PArr(items) if first >= 0 && first < 256 =>
+        val t = Array.fill(256)(-1.0)
+        items.zipWithIndex.foreach { case (it, i) =>
+          val code = first + i
+          if (code < 256) resolve(it) match {
+            case PNum(v) => t(code) = v
+            case _ =>
+          }
+        }
+        t
+      case _ => null
+    }
+    (table, missing)
+  }
+
+  /** CIDFont /W array -> per-CID width map (PDF 9.7.4.3): entries are either
+    * `c [w1 w2 ...]` (consecutive CIDs from c) or `cFirst cLast w`. */
+  private[pdf] def parseCidWidths(items: Seq[Obj], resolve: Obj => Obj)
+      : java.util.HashMap[Integer, java.lang.Double] = {
+    val m = new java.util.HashMap[Integer, java.lang.Double]()
+    var i = 0
+    def numAt(j: Int): Option[Double] = resolve(items(j)) match {
+      case PNum(v) => Some(v)
+      case _ => None
+    }
+    while (i < items.length) {
+      resolve(items(i)) match {
+        case PNum(c) =>
+          if (i + 1 < items.length) resolve(items(i + 1)) match {
+            case PArr(ws) =>
+              ws.zipWithIndex.foreach { case (w, k) =>
+                resolve(w) match {
+                  case PNum(v) if c.toInt + k >= 0 => m.put(c.toInt + k, v)
+                  case _ =>
+                }
+              }
+              i += 2
+            case PNum(cLast) =>
+              if (i + 2 < items.length) {
+                numAt(i + 2).foreach { w =>
+                  var cid = c.toInt
+                  val last = math.min(cLast.toInt, cid + 65535) // bound hostile ranges
+                  while (cid <= last) { m.put(cid, w); cid += 1 }
+                }
+                i += 3
+              } else i = items.length
+            case _ => i += 2
+          } else i = items.length
+        case _ => i += 1
+      }
+    }
+    m
+  }
+
   /** Build a decoder from a font dict. `resolve` dereferences; `decode`
     * runs the stream filter chain. Returns null (= legacy latin-1/BOM
     * behavior) when the font carries no usable decode information. */
@@ -199,10 +324,30 @@ object Fonts {
         case _ => null
       }
     if (isType0) {
-      // composite font: 2-byte codes (Identity-H assumption). Without a
-      // ToUnicode CMap the codes are glyph ids we cannot map.
-      return new FontDecoder(twoByte = true, toUni, null)
+      // composite font: 2-byte codes (Identity-H assumption — code == CID).
+      // Without a ToUnicode CMap the codes are glyph ids we cannot map.
+      // Widths come from the descendant CIDFont's /W with /DW default 1000.
+      val (cidW, dw) = resolve(font.get("DescendantFonts").getOrElse(PNull)) match {
+        case PArr(ds) if ds.nonEmpty =>
+          resolve(ds.head) match {
+            case d: PDict =>
+              val dw = resolve(d.get("DW").getOrElse(PNull)) match {
+                case PNum(v) => v
+                case _ => 1000.0
+              }
+              val w = resolve(d.get("W").getOrElse(PNull)) match {
+                case PArr(items) => parseCidWidths(items, resolve)
+                case _ => null
+              }
+              (w, dw)
+            case _ => (null, 1000.0)
+          }
+        case _ => (null, 1000.0)
+      }
+      return new FontDecoder(twoByte = true, toUni, null,
+        cidWidths = cidW, defaultWidth = dw)
     }
+    val (widthTable, missingW) = simpleWidths(font, resolve)
     val enc = resolve(font.get("Encoding").getOrElse(PNull))
     val simple: Array[String] = enc match {
       case PName(n) => baseTable(n)
@@ -234,8 +379,9 @@ object Fonts {
         t
       case _ => null
     }
-    if (toUni == null && simple == null) null
-    else new FontDecoder(twoByte = false, toUni, simple)
+    if (toUni == null && simple == null && widthTable == null) null
+    else new FontDecoder(twoByte = false, toUni, simple,
+      widths = widthTable, missingWidth = missingW)
   }
 
   // --------------------------------------------------------- ToUnicode CMap

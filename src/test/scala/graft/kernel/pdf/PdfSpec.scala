@@ -157,6 +157,45 @@ class PdfSpec extends AnyFunSuite {
     assert(doc2.pageTexts === doc.pageTexts)
   }
 
+  test("glyph advance widths: split runs rejoin, kern jitter joins, real gaps space") {
+    // "Hel" is 722+556+222 = 1500 thousandths = 18pt at 12pt: the second run
+    // placed at exactly the advance must rejoin with NO phantom space (the
+    // pre-width interpreter compared START positions and mis-spaced this)
+    val helEnd = 72.0 + MiniPdf.helveticaWidth("Hel") * 12.0 / 1000.0
+    val keEnd = 72.0 + MiniPdf.helveticaWidth("ke") * 12.0 / 1000.0
+    val content =
+      f"""BT /F1 12 Tf 72 700 Td (Hel) Tj ET
+         |BT /F1 12 Tf $helEnd%.3f 700 Td (lo world) Tj ET
+         |BT /F1 12 Tf 72 650 Td (gap) Tj ET
+         |BT /F1 12 Tf 200 650 Td (test) Tj ET
+         |BT /F1 12 Tf 72 600 Td (ke) Tj ET
+         |BT /F1 12 Tf ${keEnd + 1.0}%.3f 600 Td (rn) Tj ET""".stripMargin
+    val pdf = MiniPdf.buildWithWidths(content)
+    assert(PdfExtract.extractText(pdf) === Some("Hello world\ngap test\nkern\n"))
+  }
+
+  test("Tc/Tw feed the advance: padded split runs still rejoin") {
+    // 1pt char spacing over 3 glyphs adds 3pt to the advance; the follow-on
+    // run sits at width + 3pt and must still join seamlessly
+    val end = 72.0 + MiniPdf.helveticaWidth("pad") * 12.0 / 1000.0 + 3.0
+    val content =
+      f"""BT /F1 12 Tf 1 Tc 72 700 Td (pad) Tj ET
+         |BT /F1 12 Tf $end%.3f 700 Td (ded) Tj ET""".stripMargin
+    val pdf = MiniPdf.buildWithWidths(content)
+    assert(PdfExtract.extractText(pdf) === Some("padded\n"))
+  }
+
+  test("MacRoman exact table: currency at 0xDB, high block unshifted") {
+    val coded = Array[Byte](0x8E.toByte, ' ', 0xDB.toByte, ' ', 0xF1.toByte, 0xFF.toByte)
+    val pdf = MiniPdf.buildWithDifferences(coded, "")
+      // buildWithDifferences uses WinAnsi base; build a MacRoman variant inline
+    val s = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("/BaseEncoding /WinAnsiEncoding /Differences [  ]", "/BaseEncoding /MacRomanEncoding")
+    val text = PdfExtract.extractText(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    // 0x8E=é, 0xDB=¤ (currency, NOT euro), 0xF1=Ò, 0xFF=ˇ
+    assert(text === Some("é ¤ Òˇ\n"))
+  }
+
   test("hybrid incremental update: /XRefStm entries shadow the /Prev chain") {
     val pdf = MiniPdf.buildHybridUpdate("stale pre-update text", "fresh updated text")
     val (doc, info) = PdfDocument.loadWithInfo(pdf).get
