@@ -517,14 +517,20 @@ object SparkEntry {
         s"""s AS (SELECT q.query_id, d.vec_id, ${dotD("d.embedding", "q.embedding")} / (sqrt(${dotD("d.embedding", "d.embedding")}) * sqrt(${dotD("q.embedding", "q.embedding")}) + 1e-12) AS sim FROM embeddings d, q WHERE d.vec_id <> q.query_id) """ +
         """SELECT query_id, vec_id, rank FROM (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM s) WHERE rank <= 10 ORDER BY query_id, rank"""
     },
+    // Recomputes the doc-derived media geometry independently: BMP pixel
+    // bytes from the 4-byte-aligned 24-bit stride, WAV duration/data size
+    // from the PCM sample math, GMM1 video params from the header
+    // arithmetic, corrupt rows from the raw UTF-8 text length.
     "q_media_features" ->
       ("""SELECT doc_id AS media_id, """ +
-      """CASE WHEN doc_id % 4 = 3 THEN 'unknown' WHEN doc_id % 4 = 0 THEN 'image' WHEN doc_id % 4 = 1 THEN 'audio' ELSE 'video' END AS media_type, """ +
-      """CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 64 + (doc_id * 37) % 1920 END AS width, """ +
-      """CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 64 + (doc_id * 53) % 1080 END AS height, """ +
-      """CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 + doc_id % 4 END AS channels, """ +
-      """CASE WHEN doc_id % 4 = 2 THEN 1000 + (doc_id * 97) % 60000 ELSE 0 END AS duration_ms, """ +
-      """octet_length(encode(text)) AS payload_bytes, """ +
+      """CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' WHEN 2 THEN 'video' ELSE 'unknown' END AS media_type, """ +
+      """CASE doc_id % 4 WHEN 0 THEN 4 + (doc_id * 7) % 32 WHEN 2 THEN 64 + (doc_id * 37) % 1920 ELSE 0 END AS width, """ +
+      """CASE doc_id % 4 WHEN 0 THEN 4 + (doc_id * 11) % 32 WHEN 2 THEN 64 + (doc_id * 53) % 1080 ELSE 0 END AS height, """ +
+      """CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 1 + doc_id % 2 WHEN 2 THEN 1 + doc_id % 4 ELSE 0 END AS channels, """ +
+      """CASE doc_id % 4 WHEN 1 THEN 1 + doc_id % 50 WHEN 2 THEN 1000 + (doc_id * 97) % 60000 ELSE 0 END AS duration_ms, """ +
+      """CASE doc_id % 4 WHEN 0 THEN ((3 * (4 + (doc_id * 7) % 32) + 3) // 4) * 4 * (4 + (doc_id * 11) % 32) """ +
+      """WHEN 1 THEN 8 * (1 + doc_id % 50) * 2 * (1 + doc_id % 2) """ +
+      """ELSE octet_length(encode(text)) END AS payload_bytes, """ +
       """CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END AS valid, """ +
       """CASE WHEN doc_id % 4 = 2 THEN least(64, (1000 + (doc_id * 97) % 60000 + 999) // 1000) ELSE 0 END AS n_frames """ +
       """FROM documents ORDER BY media_id"""),

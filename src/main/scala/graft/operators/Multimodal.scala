@@ -8,12 +8,16 @@ import org.apache.spark.sql.functions._
  * with typed metadata, processed per-partition in batches (the Scala
  * equivalent of mapInPandas for this JVM-only engine).
  *
- * The actual codec work is STUBBED (no image/audio libs in this sandbox):
- * `decodeStub` parses this repo's deterministic fake media header —
- * magic "GMM1" | type:u8 | width:u16 | height:u16 | channels:u8 |
- * durationMs:u32 | payload — so the Spark-side contract (schema,
- * partitioning, batch shape, null/corrupt handling) is real and tested,
- * and a real decoder drops in by replacing ONE function.
+ * Decoders, sniffed by magic bytes:
+ *  - BMP ("BM", BITMAPINFOHEADER, uncompressed BI_RGB) — REAL from-scratch
+ *    parser: width/height/bit-depth/stride from the DIB header, pixel-array
+ *    size computed from the 4-byte-aligned row stride;
+ *  - WAV ("RIFF"+"WAVE", PCM fmt chunk) — REAL from-scratch parser:
+ *    channels/sample-rate/bits from fmt, duration from the data chunk;
+ *  - "GMM1" — this repo's deterministic fake header (type:u8 width:u16
+ *    height:u16 channels:u8 durationMs:u32 | payload), kept for the VIDEO
+ *    type, which has no sandbox-feasible from-scratch container format;
+ *  - anything else decodes as invalid/unknown (never throws).
  */
 object Multimodal {
 
@@ -39,7 +43,7 @@ object Multimodal {
     bb.array()
   }
 
-  /** STUB decoder — replace with a real codec binding in production. */
+  /** GMM1 fake-header decoder (the remaining stub, used for video only). */
   def decodeStub(bytes: Array[Byte]): MediaMeta = {
     if (bytes == null || bytes.length < 14 ||
       bytes(0) != Magic(0) || bytes(1) != Magic(1) || bytes(2) != Magic(2) || bytes(3) != Magic(3))
@@ -55,6 +59,135 @@ object Multimodal {
       valid = t < Types.length)
   }
 
+  // --------------------------------------------------------------- BMP (real)
+  private def u16le(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  private def u32le(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) | ((b(o + 2) & 0xFFL) << 16) |
+      ((b(o + 3) & 0xFFL) << 24)
+  private def i32le(b: Array[Byte], o: Int): Int = u32le(b, o).toInt
+
+  private val invalid = MediaMeta("unknown", 0, 0, 0, 0L, 0L, valid = false)
+
+  /** Windows BMP, BITMAPINFOHEADER (or later, size >= 40), uncompressed
+    * BI_RGB. payload_bytes = pixel-array size from the 4-byte-aligned row
+    * stride (the format's real geometry, not the blob length). */
+  def decodeBmp(bytes: Array[Byte]): MediaMeta = {
+    if (bytes == null || bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M')
+      return invalid.copy(payload_bytes = if (bytes == null) 0 else bytes.length)
+    val dibSize = u32le(bytes, 14)
+    if (dibSize < 40) return invalid.copy(payload_bytes = bytes.length)
+    val width = i32le(bytes, 18)
+    val heightRaw = i32le(bytes, 22)
+    val height = math.abs(heightRaw) // negative = top-down row order
+    val planes = u16le(bytes, 26)
+    val bpp = u16le(bytes, 28)
+    val compression = u32le(bytes, 30)
+    if (width <= 0 || height == 0 || planes != 1 || compression != 0L ||
+      !Set(8, 24, 32).contains(bpp))
+      return invalid.copy(payload_bytes = bytes.length)
+    val stride = ((width.toLong * bpp + 31) / 32) * 4
+    val pixelBytes = stride * height
+    val pixelOffset = u32le(bytes, 10)
+    if (pixelOffset + pixelBytes > bytes.length) // truncated pixel array
+      return invalid.copy(payload_bytes = bytes.length)
+    MediaMeta("image", width, height, bpp / 8, 0L, pixelBytes, valid = true)
+  }
+
+  /** Minimal BMP writer (fixture side): 24-bit BI_RGB, bottom-up, pixel
+    * bytes cycled from `content` (zero-padded rows). */
+  def encodeBmp(width: Int, height: Int, content: Array[Byte]): Array[Byte] = {
+    val stride = ((width * 24 + 31) / 32) * 4
+    val pixelBytes = stride * height
+    val size = 54 + pixelBytes
+    val bb = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(size).putShort(0).putShort(0).putInt(54)
+    bb.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(pixelBytes).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = 0
+    var k = 0
+    while (y < height) {
+      var x = 0
+      while (x < stride) {
+        val inRow = x < width * 3
+        bb.put(if (inRow && content.nonEmpty) content(k % content.length) else 0.toByte)
+        if (inRow && content.nonEmpty) k += 1
+        x += 1
+      }
+      y += 1
+    }
+    bb.array()
+  }
+
+  // --------------------------------------------------------------- WAV (real)
+  /** RIFF/WAVE with a PCM fmt chunk: channels and sample geometry from fmt,
+    * duration from the data chunk (samples * 1000 / sampleRate). */
+  def decodeWav(bytes: Array[Byte]): MediaMeta = {
+    def tag(o: Int, s: String): Boolean =
+      o + 4 <= bytes.length && (0 until 4).forall(i => bytes(o + i) == s.charAt(i).toByte)
+    if (bytes == null || bytes.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE"))
+      return invalid.copy(payload_bytes = if (bytes == null) 0 else bytes.length)
+    var off = 12
+    var channels = 0
+    var sampleRate = 0L
+    var blockAlign = 0
+    var bits = 0
+    var dataLen = -1L
+    var fmtSeen = false
+    while (off + 8 <= bytes.length && (dataLen < 0 || !fmtSeen)) {
+      val len = u32le(bytes, off + 4)
+      if (tag(off, "fmt ") && off + 8 + 16 <= bytes.length) {
+        val audioFormat = u16le(bytes, off + 8)
+        if (audioFormat != 1) return invalid.copy(payload_bytes = bytes.length) // PCM only
+        channels = u16le(bytes, off + 10)
+        sampleRate = u32le(bytes, off + 12)
+        blockAlign = u16le(bytes, off + 20)
+        bits = u16le(bytes, off + 22)
+        fmtSeen = true
+      } else if (tag(off, "data")) {
+        dataLen = math.min(len, (bytes.length - off - 8).toLong)
+      }
+      val step = 8L + len + (len & 1L) // chunks are word-aligned
+      off = if (off + step > bytes.length.toLong) bytes.length else (off + step).toInt
+    }
+    if (!fmtSeen || dataLen < 0 || channels <= 0 || sampleRate <= 0 ||
+      blockAlign <= 0 || bits <= 0 || blockAlign != channels * (bits / 8))
+      return invalid.copy(payload_bytes = bytes.length)
+    val samples = dataLen / blockAlign
+    MediaMeta("audio", 0, 0, channels, samples * 1000L / sampleRate, dataLen, valid = true)
+  }
+
+  /** Minimal PCM WAV writer (fixture side): 16-bit samples cycled from
+    * `content`. */
+  def encodeWav(channels: Int, sampleRate: Int, nSamples: Int,
+                content: Array[Byte]): Array[Byte] = {
+    val blockAlign = channels * 2
+    val dataLen = nSamples * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(channels.toShort)
+      .putInt(sampleRate).putInt(sampleRate * blockAlign)
+      .putShort(blockAlign.toShort).putShort(16)
+    bb.put("data".getBytes).putInt(dataLen)
+    var i = 0
+    while (i < dataLen) {
+      bb.put(if (content.nonEmpty) content(i % content.length) else 0.toByte)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Magic-sniffing decoder over all supported containers. */
+  def decodeMedia(bytes: Array[Byte]): MediaMeta = {
+    if (bytes == null || bytes.length < 4)
+      return invalid.copy(payload_bytes = if (bytes == null) 0 else bytes.length)
+    if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')
+      decodeWav(bytes)
+    else decodeStub(bytes)
+  }
+
   /** Feature extraction over (media_id, bytes): batched per partition,
     * one pass per blob; frame sampling = every `frameStepMs` over duration
     * (stub: returns the sampled offsets; a real impl would decode frames). */
@@ -66,7 +199,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val meta = decodeStub(bytes)
+          val meta = decodeMedia(bytes)
           val (mean, entropy) = byteStats(bytes)
           val frames =
             if (meta.media_type == "video" && meta.duration_ms > 0)
@@ -96,21 +229,30 @@ object Multimodal {
   }
 
   /** Doc-derived media blob: every header parameter is pure doc_id
-    * arithmetic and the payload is the doc text, so a SQL oracle can
-    * independently recompute what the decode+feature pipeline must emit.
-    * doc_id % 4 == 3 yields a corrupt blob (payload only, no magic). */
+    * arithmetic and the content bytes come from the doc text, so a SQL
+    * oracle can independently recompute what the decode+feature pipeline
+    * must emit. Routing by doc_id % 4:
+    *  0 -> REAL 24-bit BMP, width 4+(id*7)%32, height 4+(id*11)%32
+    *       (payload_bytes = aligned stride * height);
+    *  1 -> REAL PCM WAV, channels 1+id%2, 8 kHz, 8*(1+id%50) samples
+    *       (duration_ms = 1+id%50 exactly);
+    *  2 -> GMM1 fake video header (the remaining stub type);
+    *  3 -> corrupt blob (text bytes, no magic). */
   def mediaFromDoc(docId: Long, text: String): (Long, Array[Byte]) = {
     val t = (docId % 4).toInt
     val payload = (if (text == null) "" else text)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val blob =
-      if (t == 3) payload
-      else encodeStub(t,
+    val blob = t match {
+      case 0 => encodeBmp((4 + (docId * 7) % 32).toInt, (4 + (docId * 11) % 32).toInt, payload)
+      case 1 => encodeWav((1 + docId % 2).toInt, 8000, (8 * (1 + docId % 50)).toInt, payload)
+      case 2 => encodeStub(2,
         (64 + (docId * 37) % 1920).toInt,
         (64 + (docId * 53) % 1080).toInt,
         (1 + docId % 4).toInt,
-        if (t == 2) 1000L + (docId * 97) % 60000 else 0L,
+        1000L + (docId * 97) % 60000,
         payload)
+      case _ => payload
+    }
     (docId, blob)
   }
 

@@ -281,4 +281,45 @@ class OperatorsSpec extends AnyFunSuite {
     val videos = feats.filter(_.getStruct(1).getString(0) == "video")
     assert(videos.nonEmpty && videos.forall(_.getSeq[Long](4).nonEmpty))
   }
+
+  test("BMP decode: real geometry round-trip, stride padding, truncation, fuzz") {
+    // 5x3 24-bit: stride = ceil(15/4)*4 = 16, pixel array = 48
+    val bmp = Multimodal.encodeBmp(5, 3, "pixelcontent".getBytes)
+    val m = Multimodal.decodeBmp(bmp)
+    assert(m === Multimodal.MediaMeta("image", 5, 3, 3, 0L, 48L, valid = true))
+    assert(Multimodal.decodeMedia(bmp) === m) // sniffed by magic
+    // truncated pixel array -> invalid, never throws
+    assert(!Multimodal.decodeBmp(bmp.take(bmp.length - 10)).valid)
+    assert(!Multimodal.decodeBmp(bmp.take(20)).valid)
+    // compressed (BI_RLE8) rejected
+    val rle = bmp.clone(); rle(30) = 1
+    assert(!Multimodal.decodeBmp(rle).valid)
+    val rnd = new scala.util.Random(11)
+    (1 to 200).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(300))(rnd.nextInt.toByte)
+      if (junk.length >= 2) { junk(0) = 'B'; junk(1) = 'M' }
+      Multimodal.decodeMedia(junk) // must not throw
+    }
+  }
+
+  test("WAV decode: PCM geometry round-trip, exact duration, fuzz") {
+    // 2ch 16-bit 8kHz, 4000 samples = exactly 500 ms, data 16000 bytes
+    val wav = Multimodal.encodeWav(2, 8000, 4000, "audiocontent".getBytes)
+    val m = Multimodal.decodeWav(wav)
+    assert(m === Multimodal.MediaMeta("audio", 0, 0, 2, 500L, 16000L, valid = true))
+    assert(Multimodal.decodeMedia(wav) === m)
+    // data chunk truncated by the blob: reported length clamps, stays valid
+    val cut = Multimodal.decodeWav(wav.take(wav.length - 400))
+    assert(cut.valid && cut.payload_bytes === 15600L)
+    assert(!Multimodal.decodeWav(wav.take(30)).valid)
+    // non-PCM format code rejected
+    val alaw = wav.clone(); alaw(20) = 6
+    assert(!Multimodal.decodeWav(alaw).valid)
+    val rnd = new scala.util.Random(12)
+    (1 to 200).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(300))(rnd.nextInt.toByte)
+      if (junk.length >= 4) { junk(0) = 'R'; junk(1) = 'I'; junk(2) = 'F'; junk(3) = 'F' }
+      Multimodal.decodeMedia(junk) // must not throw
+    }
+  }
 }
