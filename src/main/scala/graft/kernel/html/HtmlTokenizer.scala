@@ -25,6 +25,11 @@ object HtmlTokenizer {
     def text(s: String, rawtext: Boolean): Unit
     def startTag(name: String, selfClosing: Boolean): Unit
     def endTag(name: String): Unit
+    /** Start tag with the element's class+id attribute values (lowercased,
+      * space-joined, "" when absent) — the boilerplate-hint channel. The
+      * default forwards to the 2-arg form so existing sinks are untouched. */
+    def startTag(name: String, selfClosing: Boolean, classId: String): Unit =
+      startTag(name, selfClosing)
   }
 
   /** Elements whose content is raw text until the matching close tag. */
@@ -140,24 +145,56 @@ object HtmlTokenizer {
           while (j < n && (isAsciiLetter(html.charAt(j)) || Character.isDigit(html.charAt(j)) ||
             html.charAt(j) == '-' || html.charAt(j) == ':')) j += 1
           val name = html.substring(i + 1, j).toLowerCase
-          // attributes: scan to '>', honoring quoted values (may contain '>')
+          // attributes: parse name[=value] pairs to '>', honoring quoted
+          // values (may contain '>'); only class/id values are captured
           var selfClosing = false
           var done = false
+          var classId: java.lang.StringBuilder = null
           while (j < n && !done) {
-            html.charAt(j) match {
-              case '>' => done = true; j += 1
-              case '"' =>
-                var k = j + 1; while (k < n && html.charAt(k) != '"') k += 1
+            val ch = html.charAt(j)
+            if (ch == '>') { done = true; j += 1 }
+            else if (ch == '/' && j + 1 < n && html.charAt(j + 1) == '>') {
+              selfClosing = true; j += 2; done = true
+            } else if (Character.isWhitespace(ch) || ch == '/' || ch == '=' ||
+              ch == '"' || ch == '\'') {
+              // stray value/quote outside an attribute: skip quoted payload
+              if (ch == '"' || ch == '\'') {
+                var k = j + 1; while (k < n && html.charAt(k) != ch) k += 1
                 j = if (k < n) k + 1 else n
-              case '\'' =>
-                var k = j + 1; while (k < n && html.charAt(k) != '\'') k += 1
-                j = if (k < n) k + 1 else n
-              case '/' if j + 1 < n && html.charAt(j + 1) == '>' =>
-                selfClosing = true; j += 2; done = true
-              case _ => j += 1
+              } else j += 1
+            } else {
+              val ns = j
+              while (j < n && { val d = html.charAt(j)
+                d != '=' && d != '>' && d != '/' && !Character.isWhitespace(d) }) j += 1
+              val aname = html.substring(ns, j)
+              var k = j
+              while (k < n && Character.isWhitespace(html.charAt(k))) k += 1
+              if (k < n && html.charAt(k) == '=') {
+                k += 1
+                while (k < n && Character.isWhitespace(html.charAt(k))) k += 1
+                var vs = k
+                var ve = k
+                if (k < n && (html.charAt(k) == '"' || html.charAt(k) == '\'')) {
+                  val q = html.charAt(k); vs = k + 1; var m = vs
+                  while (m < n && html.charAt(m) != q) m += 1
+                  ve = m; k = if (m < n) m + 1 else n
+                } else {
+                  var m = k
+                  while (m < n && { val d = html.charAt(m)
+                    d != '>' && !Character.isWhitespace(d) }) m += 1
+                  ve = m; k = m
+                }
+                if (aname.equalsIgnoreCase("class") || aname.equalsIgnoreCase("id")) {
+                  if (classId == null) classId = new java.lang.StringBuilder
+                  if (classId.length > 0) classId.append(' ')
+                  var m = vs
+                  while (m < ve) { classId.append(Character.toLowerCase(html.charAt(m))); m += 1 }
+                }
+                j = k
+              }
             }
           }
-          sink.startTag(name, selfClosing)
+          sink.startTag(name, selfClosing, if (classId == null) "" else classId.toString)
           i = j
           textStart = i
           // RawText mode: consume verbatim until matching close tag

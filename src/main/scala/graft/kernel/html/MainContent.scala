@@ -34,6 +34,44 @@ object MainContent {
   private val DropContexts = Set("nav", "header", "footer", "aside", "form",
     "button", "select", "option", "label", "menu", "svg", "head", "figure")
 
+  /** class/id tokens that mark a container as boilerplate (readability/
+    * trafilatura-style hints): comment threads, nav/menu chrome, share and
+    * promo widgets. Matched as WHOLE tokens of the class/id value (split on
+    * non-alphanumerics), never substrings — "header" must not match
+    * "subheader-article" by accident. */
+  private val BoilerClassTokens = Set(
+    "comment", "comments", "commentlist", "reply", "replies", "disqus",
+    "sidebar", "footer", "nav", "navbar", "navigation", "menu", "menubar",
+    "breadcrumb", "breadcrumbs", "share", "sharing", "sharebar", "social",
+    "related", "recommended", "promo", "promotion", "sponsored",
+    "ad", "ads", "advert", "advertisement", "adsense", "banner",
+    "widget", "cookie", "popup", "modal", "subscribe", "newsletter",
+    "pagination", "pager", "masthead", "byline", "crumbs")
+
+  /** Container tags that are reliably balanced in generated HTML — the only
+    * tags the class-drop stack counts. p/li/td are NOT counted: they are
+    * routinely left unclosed and would desynchronize the stack. */
+  private val CountedContainers = Set("div", "section", "article", "main",
+    "ul", "ol", "dl", "table", "blockquote", "figure", "form", "fieldset",
+    "details", "header", "footer", "nav", "aside")
+
+  private def hasBoilerClass(classId: String): Boolean = {
+    if (classId.isEmpty) return false
+    var start = 0
+    var i = 0
+    val n = classId.length
+    while (i <= n) {
+      val boundary = i == n || !Character.isLetterOrDigit(classId.charAt(i))
+      if (boundary) {
+        if (i > start && BoilerClassTokens.contains(classId.substring(start, i)))
+          return true
+        start = i + 1
+      }
+      i += 1
+    }
+    false
+  }
+
   /** Contexts whose text never renders. */
   private val InvisibleTags = Set("script", "style", "template", "noscript",
     "iframe", "object", "textarea", "title", "xmp")
@@ -94,11 +132,30 @@ object MainContent {
       if (anchorDepth > 0) cur.linkedChars += appended
     }
 
-    override def startTag(name: String, selfClosing: Boolean): Unit = {
+    // class-hinted boilerplate containers: entries are (tagName, openCount)
+    // where openCount tracks unclosed counted-container DESCENDANTS, so the
+    // drop scope closes with its element even in mildly-unbalanced HTML
+    private val classDropNames = mutable.Stack.empty[String]
+    private val classDropOpens = mutable.Stack.empty[Int]
+
+    override def startTag(name: String, selfClosing: Boolean): Unit =
+      startTag(name, selfClosing, "")
+
+    override def startTag(name: String, selfClosing: Boolean, classId: String): Unit = {
       if (name == "title") { if (!selfClosing) inTitle = true; return }
       if (InvisibleTags.contains(name)) { if (!selfClosing) invisibleDepth += 1; return }
       if (name == "a") { if (!selfClosing) anchorDepth += 1; return }
       if (name == "br") { flush(cur.kind); return }
+      val counted = CountedContainers.contains(name) && !selfClosing
+      if (counted) {
+        if (hasBoilerClass(classId)) {
+          classDropNames.push(name)
+          classDropOpens.push(0)
+          dropDepth += 1
+        } else if (classDropNames.nonEmpty) {
+          classDropOpens.push(classDropOpens.pop() + 1)
+        }
+      }
       if (BlockTags.contains(name)) {
         flush(if (name == "div" || name == "body" || name == "html") "p" else name)
         if (DropContexts.contains(name) && !selfClosing) {
@@ -116,6 +173,14 @@ object MainContent {
       if (name == "title") { inTitle = false; return }
       if (InvisibleTags.contains(name)) { if (invisibleDepth > 0) invisibleDepth -= 1; return }
       if (name == "a") { if (anchorDepth > 0) anchorDepth -= 1; pendingSpace = true; return }
+      if (CountedContainers.contains(name) && classDropNames.nonEmpty) {
+        val opens = classDropOpens.pop()
+        if (opens > 0) classDropOpens.push(opens - 1)
+        else if (classDropNames.top == name) {
+          classDropNames.pop()
+          if (dropDepth > 0) dropDepth -= 1
+        } else classDropOpens.push(opens) // stray close of something else
+      }
       if (BlockTags.contains(name)) {
         if (name == "pre" && preDepth > 0) preDepth -= 1
         if (DropContexts.contains(name) && dropDepth > 0) dropDepth -= 1
