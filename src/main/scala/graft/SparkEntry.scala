@@ -564,6 +564,19 @@ object SparkEntry {
     "q_dedup_collapse" ->
       ("SELECT doc_id FROM read_parquet('/root/repo/fixtures/expected/dedup_collapse.parquet') " +
         "WHERE corpus_tag = (SELECT count(*) || '-' || sum(length(text)) FROM documents) ORDER BY doc_id"),
+    // ANN sign-LSH: the float32 hyperplane dots and sequential-fold cosines
+    // are reimplemented bit-exactly in tools/gen_expected.py (numpy mirrors
+    // the exact IEEE op order) and brute-forced over the full corpus — the
+    // fixture is a true independent expectation, not a dump of this query.
+    "q_ann_lsh" ->
+      ("SELECT query_id, vec_id, rank FROM read_parquet('/root/repo/fixtures/expected/ann_lsh.parquet') " +
+        "WHERE corpus_tag = (SELECT count(*) || '-' || sum(length(text)) FROM documents) ORDER BY query_id, rank"),
+    // ANN IVF: the whole train->assign->probe->rank chain (strided k-means
+    // init, f32-product/f64-accumulate scoring, sequential-fold cosine) is
+    // mirrored bit-exactly in tools/gen_expected.py and brute-forced.
+    "q_ann_ivf" ->
+      ("SELECT query_id, vec_id, rank FROM read_parquet('/root/repo/fixtures/expected/ann_ivf.parquet') " +
+        "WHERE corpus_tag = (SELECT count(*) || '-' || sum(length(text)) FROM documents) ORDER BY query_id, rank"),
     // Status rollup over the deterministic PageGen-2000 corpus: the corpus is
     // SF-independent, so the expected counts are frozen literals (regression
     // pin; the underlying per-document byte-identity vs CPython is enforced

@@ -170,6 +170,136 @@ def simhash_pairs(ids, hashes, max_hamming):
     return sorted(set(pairs))
 
 
+def hyperplanes(bits, dim, seed):
+    """Similarity.hyperplanes: CLT-sum gaussians from splitmix64, f32 cast."""
+    stream = splitmix_stream(seed, bits * dim * 4)
+    units = [((v >> 11) * 1.1102230246251565e-16) - 0.5 for v in stream]
+    planes = np.empty((bits, dim), dtype=np.float32)
+    k = 0
+    for b in range(bits):
+        for d in range(dim):
+            planes[b, d] = np.float32(units[k] + units[k + 1] + units[k + 2] + units[k + 3])
+            k += 4
+    return planes
+
+
+def lsh_buckets(vecs_f32, planes):
+    """Sign-LSH buckets with the Scala op order: per-dim f32 multiply then
+    sequential f32 accumulation (bit-exact vs `s += vec(j) * p(j)`)."""
+    n, dim = vecs_f32.shape
+    out = np.zeros(n, dtype=np.int64)
+    for b in range(planes.shape[0]):
+        s = np.zeros(n, dtype=np.float32)
+        for j in range(min(dim, planes.shape[1])):
+            s = (s + vecs_f32[:, j] * planes[b, j]).astype(np.float32)
+        out |= (s >= 0).astype(np.int64) << b
+    return out
+
+
+def seq_dot_f64(a_mat, b_vec):
+    """aggregate(zip_with(a,b, double multiply), 0.0, +) — sequential left
+    fold in float64, vectorized over rows."""
+    acc = np.zeros(a_mat.shape[0], dtype=np.float64)
+    for j in range(a_mat.shape[1]):
+        acc = acc + a_mat[:, j].astype(np.float64) * np.float64(b_vec[j])
+    return acc
+
+
+def seq_norm_f64(mat):
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for j in range(mat.shape[1]):
+        x = mat[:, j].astype(np.float64)
+        acc = acc + x * x
+    return np.sqrt(acc)
+
+
+def ann_lsh_topk(vec_ids, vecs_f32, k=10, bits=6, dim=64, seed=42, probes=3):
+    """Similarity.lshTopK over the full corpus, queries = vec_id % 100 == 0."""
+    planes = hyperplanes(bits, dim, seed)
+    buckets = lsh_buckets(vecs_f32, planes)
+    norms = seq_norm_f64(vecs_f32)
+    rows = []
+    qidx = [i for i, v in enumerate(vec_ids) if v % 100 == 0]
+    for qi in qidx:
+        qb = buckets[qi]
+        probe_set = {qb} | {qb ^ (1 << p) for p in range(min(probes, bits))}
+        cand = [i for i in range(len(vec_ids))
+                if buckets[i] in probe_set and vec_ids[i] != vec_ids[qi]]
+        if not cand:
+            continue
+        cm = vecs_f32[cand]
+        # cosine(corpus, query): dot / (norm(corpus) * norm(query) + 1e-12)
+        sims = seq_dot_f64(cm, vecs_f32[qi]) / (seq_norm_f64(cm) * norms[qi] + 1e-12)
+        order = sorted(range(len(cand)), key=lambda i: (-sims[i], vec_ids[cand[i]]))
+        for rank, i in enumerate(order[:k], start=1):
+            rows.append((vec_ids[qi], vec_ids[cand[i]], rank))
+    return rows
+
+
+def nearest_centroids(v_f32, cents_f32, n):
+    """Similarity.nearestCentroids: per-dim f32 product widened to f64
+    accumulation (Scala: `dot += v(j) * p(j)` rounds the product to f32
+    first), cosine score, ties broken by centroid index."""
+    scores = []
+    for c in range(cents_f32.shape[0]):
+        p = cents_f32[c]
+        m = min(len(p), len(v_f32))
+        dot = nv = npp = np.float64(0.0)
+        prods = (v_f32[:m] * p[:m]).astype(np.float64)
+        vs = (v_f32[:m] * v_f32[:m]).astype(np.float64)
+        ps = (p[:m] * p[:m]).astype(np.float64)
+        for j in range(m):
+            dot = dot + prods[j]
+            nv = nv + vs[j]
+            npp = npp + ps[j]
+        scores.append((c, dot / (np.sqrt(nv) * np.sqrt(npp) + 1e-12)))
+    scores.sort(key=lambda t: (-t[1], t[0]))
+    return [c for c, _ in scores[:min(n, len(scores))]]
+
+
+def train_centroids(sample_f32, nlist=16, iters=10):
+    """Similarity.trainCentroids: strided init, f64 sums, f32 centroid cast."""
+    n = sample_f32.shape[0]
+    k = min(nlist, n)
+    dim = sample_f32.shape[1]
+    cents = np.stack([sample_f32[i * n // k] for i in range(k)]).astype(np.float32)
+    for _ in range(iters):
+        sums = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for v in sample_f32:
+            c = nearest_centroids(v, cents, 1)[0]
+            counts[c] += 1
+            sums[c] += v.astype(np.float64)
+        new = cents.copy()
+        for c in range(k):
+            if counts[c] > 0:
+                new[c] = (sums[c] / counts[c]).astype(np.float32)
+        cents = new
+    return cents
+
+
+def ann_ivf_topk(vec_ids, vecs_f32, k=10, nlist=16, nprobe=4, sample_cap=4096):
+    """Similarity.ivfTopK: queries = vec_id % 100 == 0."""
+    order = np.argsort(np.array(vec_ids), kind="stable")
+    sample = vecs_f32[order[:sample_cap]]
+    cents = train_centroids(sample, nlist)
+    cells = np.array([nearest_centroids(v, cents, 1)[0] for v in vecs_f32])
+    norms = seq_norm_f64(vecs_f32)
+    rows = []
+    for qi in [i for i, v in enumerate(vec_ids) if v % 100 == 0]:
+        probed = set(nearest_centroids(vecs_f32[qi], cents, nprobe))
+        cand = [i for i in range(len(vec_ids))
+                if cells[i] in probed and vec_ids[i] != vec_ids[qi]]
+        if not cand:
+            continue
+        cm = vecs_f32[cand]
+        sims = seq_dot_f64(cm, vecs_f32[qi]) / (seq_norm_f64(cm) * norms[qi] + 1e-12)
+        ordered = sorted(range(len(cand)), key=lambda i: (-sims[i], vec_ids[cand[i]]))
+        for rank, i in enumerate(ordered[:k], start=1):
+            rows.append((vec_ids[qi], vec_ids[cand[i]], rank))
+    return rows
+
+
 def union_find_keepers(corpus_ids, pairs):
     parent = {}
 
@@ -199,7 +329,7 @@ def main():
     out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                            "fixtures", "expected")
     os.makedirs(out_dir, exist_ok=True)
-    mh_rows, sh_rows, cc_rows = [], [], []
+    mh_rows, sh_rows, cc_rows, lsh_rows, ivf_rows = [], [], [], [], []
     for sf in sf_dirs:
         t = pq.read_table(os.path.join(sf, "documents.parquet"), columns=["doc_id", "text"])
         doc_ids = t.column("doc_id").to_pylist()
@@ -234,6 +364,20 @@ def main():
         print(f"  simhash pairs: {len(sh)}")
         sh_rows += [(tag, a, b, h) for a, b, h in sh]
 
+        # ---- q_ann_lsh: full corpus, queries = vec_id % 100 == 0 ----
+        et = pq.read_table(os.path.join(sf, "embeddings.parquet"),
+                           columns=["vec_id", "embedding"])
+        vec_ids = et.column("vec_id").to_pylist()
+        vecs = np.array(et.column("embedding").to_pylist(), dtype=np.float32)
+        lsh = ann_lsh_topk(vec_ids, vecs)
+        print(f"  ann_lsh rows: {len(lsh)}")
+        lsh_rows += [(tag, q, v, r) for q, v, r in lsh]
+
+        # ---- q_ann_ivf ----
+        ivf = ann_ivf_topk(vec_ids, vecs)
+        print(f"  ann_ivf rows: {len(ivf)}")
+        ivf_rows += [(tag, q, v, r) for q, v, r in ivf]
+
     pq.write_table(pa.table({
         "corpus_tag": pa.array([r[0] for r in mh_rows], pa.string()),
         "id_a": pa.array([r[1] for r in mh_rows], pa.int64()),
@@ -249,6 +393,18 @@ def main():
         "corpus_tag": pa.array([r[0] for r in cc_rows], pa.string()),
         "doc_id": pa.array([r[1] for r in cc_rows], pa.int64())}),
         os.path.join(out_dir, "dedup_collapse.parquet"))
+    pq.write_table(pa.table({
+        "corpus_tag": pa.array([r[0] for r in lsh_rows], pa.string()),
+        "query_id": pa.array([r[1] for r in lsh_rows], pa.int64()),
+        "vec_id": pa.array([r[2] for r in lsh_rows], pa.int64()),
+        "rank": pa.array([r[3] for r in lsh_rows], pa.int32())}),
+        os.path.join(out_dir, "ann_lsh.parquet"))
+    pq.write_table(pa.table({
+        "corpus_tag": pa.array([r[0] for r in ivf_rows], pa.string()),
+        "query_id": pa.array([r[1] for r in ivf_rows], pa.int64()),
+        "vec_id": pa.array([r[2] for r in ivf_rows], pa.int64()),
+        "rank": pa.array([r[3] for r in ivf_rows], pa.int32())}),
+        os.path.join(out_dir, "ann_ivf.parquet"))
     print(f"wrote fixtures to {out_dir}")
 
 
