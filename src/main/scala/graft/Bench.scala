@@ -245,6 +245,19 @@ object Bench {
         var r = 0
         var quietFound = false
         while (!quietFound && (r < 2 || (r < maxRounds && elapsedSec < budgetSec))) {
+          // pre-gate: a round costs ~2 min of pinned children; a 1-second
+          // canary probe predicts whether it would start inside a throttle
+          // phase. Poll (bounded) until the host looks quiet, but stop
+          // gating once 2/3 of the budget is spent so the mandatory rounds
+          // always run — the gate converts budget into better odds of a
+          // quiet round, it never replaces the rounds themselves.
+          var g = 0
+          while (g < 10 && elapsedSec < budgetSec * 2 / 3 &&
+                 (hostCanary() >= quietS || hostCanaryParallel() >= quietP)) {
+            System.err.println(s"[scaling pre-gate] host loud, waiting (probe $g)")
+            Thread.sleep(15000)
+            g += 1
+          }
           // canary before / between / after the two children: a phase flip
           // BETWEEN d8 and d32 (observed) invalidates the ratio, so a quiet
           // verdict needs all three single-thread probes quiet
@@ -329,6 +342,12 @@ object ScalingBench {
     * -XX:ActiveProcessorCount pinned (see Bench.runPinnedChild). */
   def main(args: Array[String]): Unit = {
     if (args.length >= 3 && args(0) == "child") { child(args(1).toInt, args(2).toLong); return }
+    if (args.nonEmpty && args(0) == "canary") {
+      // cheap host-phase probe for scripted monitoring: single-thread and
+      // 32-thread canary seconds (quiet refs ~0.04 / ~0.01)
+      println(f"CANARY ${Bench.hostCanary()}%.4f ${Bench.hostCanaryParallel()}%.4f")
+      return
+    }
     val rows = if (args.nonEmpty) args(0).toLong else 400000L
 
     // materialize the corpus once in the parent so children only read
