@@ -348,7 +348,7 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), col("rank"))
         .orderBy("query_id", "rank")
     }),
-    // ----- multimodal: binary decode-stub + batched feature extraction.
+    // ----- multimodal: real BMP/WAV/AVI decode + batched feature extraction.
     //       Blobs are doc-derived (header params = doc_id arithmetic,
     //       payload = text bytes) so the DuckDB oracle independently
     //       recomputes what the encode->decode->feature path must emit. -----
@@ -519,20 +519,22 @@ object SparkEntry {
     },
     // Recomputes the doc-derived media geometry independently: BMP pixel
     // bytes from the 4-byte-aligned 24-bit stride, WAV duration/data size
-    // from the PCM sample math, GMM1 video params from the header
-    // arithmetic, corrupt rows from the raw UTF-8 text length.
+    // from the PCM sample math, AVI geometry/duration/movi-payload from the
+    // 24-bit-DIB-frame arithmetic (5 fps, frame sampling every 1000 ms),
+    // corrupt rows from the raw UTF-8 text length.
     "q_media_features" ->
       ("""SELECT doc_id AS media_id, """ +
       """CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' WHEN 2 THEN 'video' ELSE 'unknown' END AS media_type, """ +
-      """CASE doc_id % 4 WHEN 0 THEN 4 + (doc_id * 7) % 32 WHEN 2 THEN 64 + (doc_id * 37) % 1920 ELSE 0 END AS width, """ +
-      """CASE doc_id % 4 WHEN 0 THEN 4 + (doc_id * 11) % 32 WHEN 2 THEN 64 + (doc_id * 53) % 1080 ELSE 0 END AS height, """ +
-      """CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 1 + doc_id % 2 WHEN 2 THEN 1 + doc_id % 4 ELSE 0 END AS channels, """ +
-      """CASE doc_id % 4 WHEN 1 THEN 1 + doc_id % 50 WHEN 2 THEN 1000 + (doc_id * 97) % 60000 ELSE 0 END AS duration_ms, """ +
+      """CASE doc_id % 4 WHEN 0 THEN 4 + (doc_id * 7) % 32 WHEN 2 THEN 8 + (doc_id * 37) % 24 ELSE 0 END AS width, """ +
+      """CASE doc_id % 4 WHEN 0 THEN 4 + (doc_id * 11) % 32 WHEN 2 THEN 8 + (doc_id * 53) % 24 ELSE 0 END AS height, """ +
+      """CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 1 + doc_id % 2 WHEN 2 THEN 3 ELSE 0 END AS channels, """ +
+      """CASE doc_id % 4 WHEN 1 THEN 1 + doc_id % 50 WHEN 2 THEN 200 * (5 + doc_id % 20) ELSE 0 END AS duration_ms, """ +
       """CASE doc_id % 4 WHEN 0 THEN ((3 * (4 + (doc_id * 7) % 32) + 3) // 4) * 4 * (4 + (doc_id * 11) % 32) """ +
       """WHEN 1 THEN 8 * (1 + doc_id % 50) * 2 * (1 + doc_id % 2) """ +
+      """WHEN 2 THEN ((3 * (8 + (doc_id * 37) % 24) + 3) // 4) * 4 * (8 + (doc_id * 53) % 24) * (5 + doc_id % 20) """ +
       """ELSE octet_length(encode(text)) END AS payload_bytes, """ +
       """CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END AS valid, """ +
-      """CASE WHEN doc_id % 4 = 2 THEN least(64, (1000 + (doc_id * 97) % 60000 + 999) // 1000) ELSE 0 END AS n_frames """ +
+      """CASE WHEN doc_id % 4 = 2 THEN (200 * (5 + doc_id % 20) + 999) // 1000 ELSE 0 END AS n_frames """ +
       """FROM documents ORDER BY media_id"""),
     // NOTE: this oracle returns `text` verbatim while the kernel applies
     // text-mode universal-newline translation (CRLF/CR -> LF) and blank ->

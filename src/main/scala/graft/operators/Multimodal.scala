@@ -8,15 +8,17 @@ import org.apache.spark.sql.functions._
  * with typed metadata, processed per-partition in batches (the Scala
  * equivalent of mapInPandas for this JVM-only engine).
  *
- * Decoders, sniffed by magic bytes:
- *  - BMP ("BM", BITMAPINFOHEADER, uncompressed BI_RGB) — REAL from-scratch
- *    parser: width/height/bit-depth/stride from the DIB header, pixel-array
+ * Decoders, sniffed by magic bytes — ALL REAL from-scratch parsers of
+ * public formats (no codec libraries, no fakes):
+ *  - BMP ("BM", BITMAPINFOHEADER, uncompressed BI_RGB):
+ *    width/height/bit-depth/stride from the DIB header, pixel-array
  *    size computed from the 4-byte-aligned row stride;
- *  - WAV ("RIFF"+"WAVE", PCM fmt chunk) — REAL from-scratch parser:
- *    channels/sample-rate/bits from fmt, duration from the data chunk;
- *  - "GMM1" — this repo's deterministic fake header (type:u8 width:u16
- *    height:u16 channels:u8 durationMs:u32 | payload), kept for the VIDEO
- *    type, which has no sandbox-feasible from-scratch container format;
+ *  - WAV ("RIFF"+"WAVE", PCM fmt chunk): channels/sample-rate/bits from
+ *    fmt, duration from the data chunk;
+ *  - AVI ("RIFF"+"AVI ", uncompressed DIB video stream): geometry and
+ *    frame timing from the avih/strh/strf headers, payload from a real
+ *    walk of the movi frame chunks, frame sampling returns the actual
+ *    byte offsets of the sampled frames' pixel data;
  *  - anything else decodes as invalid/unknown (never throws).
  */
 object Multimodal {
@@ -25,39 +27,8 @@ object Multimodal {
                              channels: Int, duration_ms: Long, payload_bytes: Long,
                              valid: Boolean)
   final case class MediaFeatures(media_id: Long, meta: MediaMeta,
-                                 // stub features: deterministic content digest stats
                                  mean_byte: Double, byte_entropy: Double,
                                  frame_samples: Seq[Long])
-
-  private val Magic = Array[Byte]('G', 'M', 'M', '1')
-  private val Types = IndexedSeq("image", "audio", "video")
-
-  /** Encode a fake media blob (fixture side). */
-  def encodeStub(mediaType: Int, width: Int, height: Int, channels: Int,
-                 durationMs: Long, payload: Array[Byte]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + 1 + 2 + 2 + 1 + 4 + payload.length)
-    bb.put(Magic).put(mediaType.toByte)
-      .putShort(width.toShort).putShort(height.toShort)
-      .put(channels.toByte).putInt(durationMs.toInt)
-      .put(payload)
-    bb.array()
-  }
-
-  /** GMM1 fake-header decoder (the remaining stub, used for video only). */
-  def decodeStub(bytes: Array[Byte]): MediaMeta = {
-    if (bytes == null || bytes.length < 14 ||
-      bytes(0) != Magic(0) || bytes(1) != Magic(1) || bytes(2) != Magic(2) || bytes(3) != Magic(3))
-      return MediaMeta("unknown", 0, 0, 0, 0L, if (bytes == null) 0 else bytes.length, valid = false)
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    bb.position(4)
-    val t = bb.get() & 0xFF
-    val w = bb.getShort & 0xFFFF
-    val h = bb.getShort & 0xFFFF
-    val c = bb.get() & 0xFF
-    val d = bb.getInt.toLong & 0xFFFFFFFFL
-    MediaMeta(Types.lift(t).getOrElse("unknown"), w, h, c, d, (bytes.length - 14).toLong,
-      valid = t < Types.length)
-  }
 
   // --------------------------------------------------------------- BMP (real)
   private def u16le(b: Array[Byte], o: Int): Int =
@@ -178,19 +149,205 @@ object Multimodal {
     bb.array()
   }
 
-  /** Magic-sniffing decoder over all supported containers. */
+  // --------------------------------------------------------------- AVI (real)
+  /** RIFF/'AVI ' with an uncompressed DIB 'vids' stream. Geometry comes
+    * from the avih main header, frame timing from dwMicroSecPerFrame *
+    * dwTotalFrames, bit depth from the stream-format BITMAPINFOHEADER
+    * (BI_RGB only), and payload_bytes from a REAL walk of the 'movi' frame
+    * chunks ('##db'/'##dc'), clamped at blob truncation like WAV. */
+  def decodeAvi(bytes: Array[Byte]): MediaMeta = {
+    def tag(o: Int, s: String): Boolean =
+      o + 4 <= bytes.length && (0 until 4).forall(i => bytes(o + i) == s.charAt(i).toByte)
+    if (bytes == null || bytes.length < 12 || !tag(0, "RIFF") || !tag(8, "AVI "))
+      return invalid.copy(payload_bytes = if (bytes == null) 0 else bytes.length)
+    var usPerFrame = 0L
+    var totalFrames = 0L
+    var width = 0
+    var height = 0
+    var bpp = 0
+    var compressionOk = false
+    var vidsSeen = false
+    var moviPayload = -1L
+
+    // one chunk walker used at every nesting level; returns false on a
+    // malformed length so fuzzed blobs terminate instead of looping
+    def walk(from: Int, to: Int)(visit: (String, Int, Int) => Unit): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val id = new String(bytes.slice(off, off + 4), java.nio.charset.StandardCharsets.ISO_8859_1)
+        val len = u32le(bytes, off + 4)
+        val dataStart = off + 8
+        val dataEnd = math.min(to.toLong, dataStart.toLong + len).toInt
+        if (dataEnd < dataStart) return
+        visit(id, dataStart, dataEnd)
+        val step = 8L + len + (len & 1L)
+        if (step <= 0 || off + step > to.toLong) return
+        off = (off + step).toInt
+      }
+    }
+
+    walk(12, bytes.length) { (id, s, e) =>
+      if (id == "LIST" && e - s >= 4) {
+        val form = new String(bytes.slice(s, s + 4), java.nio.charset.StandardCharsets.ISO_8859_1)
+        if (form == "hdrl") {
+          walk(s + 4, e) { (hid, hs, he) =>
+            if (hid == "avih" && he - hs >= 40) {
+              usPerFrame = u32le(bytes, hs)
+              totalFrames = u32le(bytes, hs + 16)
+              width = i32le(bytes, hs + 32)
+              height = i32le(bytes, hs + 36)
+            }
+            if (hid == "LIST" && he - hs >= 4) {
+              val lform = new String(bytes.slice(hs, hs + 4), java.nio.charset.StandardCharsets.ISO_8859_1)
+              if (lform == "strl") {
+                var isVids = false
+                walk(hs + 4, he) { (sid, ss, se) =>
+                  if (sid == "strh" && se - ss >= 8) {
+                    val fccType = new String(bytes.slice(ss, ss + 4), java.nio.charset.StandardCharsets.ISO_8859_1)
+                    isVids = fccType == "vids"
+                    if (isVids) vidsSeen = true
+                  } else if (sid == "strf" && isVids && se - ss >= 40) {
+                    bpp = u16le(bytes, ss + 14)
+                    compressionOk = u32le(bytes, ss + 16) == 0L // BI_RGB
+                  }
+                }
+              }
+            }
+          }
+        } else if (form == "movi") {
+          var sum = 0L
+          walk(s + 4, e) { (cid, cs, ce) =>
+            // stream-data chunks: '##db' (uncompressed DIB) / '##dc'
+            if (cid.length == 4 && cid(0).isDigit && cid(1).isDigit &&
+              (cid.substring(2) == "db" || cid.substring(2) == "dc"))
+              sum += (ce - cs).toLong
+          }
+          moviPayload = sum
+        }
+      }
+    }
+    if (!vidsSeen || !compressionOk || width <= 0 || height <= 0 ||
+      usPerFrame <= 0 || totalFrames <= 0 || moviPayload < 0 ||
+      !Set(8, 24, 32).contains(bpp))
+      return invalid.copy(payload_bytes = bytes.length)
+    MediaMeta("video", width, height, bpp / 8,
+      totalFrames * usPerFrame / 1000L, moviPayload, valid = true)
+  }
+
+  /** Byte offsets (into the blob) of the pixel data of frames sampled every
+    * `frameStepMs` of timeline — a REAL walk to each sampled frame chunk. */
+  def aviFrameOffsets(bytes: Array[Byte], frameStepMs: Long, cap: Int = 64): Seq[Long] = {
+    val meta = decodeAvi(bytes)
+    if (!meta.valid || meta.duration_ms <= 0) return Seq.empty
+    def tag(o: Int, s: String): Boolean =
+      o + 4 <= bytes.length && (0 until 4).forall(i => bytes(o + i) == s.charAt(i).toByte)
+    // collect all frame-chunk data offsets from the movi list
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val len = u32le(bytes, off + 4)
+      if (tag(off, "LIST") && off + 12 <= bytes.length && tag(off + 8, "movi")) {
+        var c = off + 12
+        val end = math.min(bytes.length.toLong, off + 8L + len).toInt
+        while (c + 8 <= end) {
+          val clen = u32le(bytes, c + 4)
+          if (bytes(c).toChar.isDigit && bytes(c + 1).toChar.isDigit &&
+            ((bytes(c + 2) == 'd' && bytes(c + 3) == 'b') ||
+             (bytes(c + 2) == 'd' && bytes(c + 3) == 'c')))
+            offsets += (c + 8).toLong
+          val step = 8L + clen + (clen & 1L)
+          if (step <= 0 || c + step > end.toLong) { c = end } else c = (c + step).toInt
+        }
+      }
+      val step = 8L + len + (len & 1L)
+      if (step <= 0 || off + step > bytes.length.toLong) return sample(offsets.toSeq, meta, frameStepMs, cap)
+      off = (off + step).toInt
+    }
+    sample(offsets.toSeq, meta, frameStepMs, cap)
+  }
+
+  private def sample(frames: Seq[Long], meta: MediaMeta, stepMs: Long, cap: Int): Seq[Long] = {
+    if (frames.isEmpty) return Seq.empty
+    val usPerFrame = meta.duration_ms * 1000L / math.max(1L, frames.length.toLong)
+    (0L until meta.duration_ms by stepMs).take(cap).flatMap { t =>
+      val idx = if (usPerFrame <= 0) 0L else t * 1000L / usPerFrame
+      frames.lift(math.min(idx, frames.length - 1L).toInt)
+    }
+  }
+
+  /** Minimal uncompressed-DIB AVI writer (fixture side): 24-bit '00db'
+    * frames, pixel bytes cycled from `content` (continuing across frames). */
+  def encodeAvi(width: Int, height: Int, nFrames: Int, usPerFrame: Int,
+                content: Array[Byte]): Array[Byte] = {
+    val stride = ((width * 24 + 31) / 32) * 4
+    val frameBytes = stride * height
+    val strf = 40
+    val strh = 56
+    val strlLen = 4 + (8 + strh) + (8 + strf)
+    val avih = 56
+    val hdrlLen = 4 + (8 + avih) + (8 + strlLen)
+    val moviLen = 4 + nFrames * (8 + frameBytes) // frameBytes is 4-aligned, no pad
+    val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(riffLen).put("AVI ".getBytes)
+    bb.put("LIST".getBytes).putInt(hdrlLen).put("hdrl".getBytes)
+    // avih: usPerFrame, maxBytesPerSec, padding, flags, totalFrames,
+    // initialFrames, streams, suggestedBufferSize, width, height, reserved x4
+    bb.put("avih".getBytes).putInt(avih)
+      .putInt(usPerFrame).putInt(0).putInt(0).putInt(0).putInt(nFrames)
+      .putInt(0).putInt(1).putInt(frameBytes).putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    bb.put("LIST".getBytes).putInt(strlLen).put("strl".getBytes)
+    // strh: fccType, fccHandler, flags, prio+lang, initialFrames, scale,
+    // rate, start, length, suggestedBufferSize, quality, sampleSize, rcFrame
+    bb.put("strh".getBytes).putInt(strh)
+      .put("vids".getBytes).put("DIB ".getBytes).putInt(0).putInt(0).putInt(0)
+      .putInt(usPerFrame).putInt(1000000).putInt(0).putInt(nFrames)
+      .putInt(frameBytes).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort)
+    // strf: BITMAPINFOHEADER
+    bb.put("strf".getBytes).putInt(strf)
+      .putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(frameBytes).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    bb.put("LIST".getBytes).putInt(moviLen).put("movi".getBytes)
+    var f = 0
+    var k = 0
+    while (f < nFrames) {
+      bb.put("00db".getBytes).putInt(frameBytes)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < stride) {
+          val inRow = x < width * 3
+          bb.put(if (inRow && content.nonEmpty) content(k % content.length) else 0.toByte)
+          if (inRow && content.nonEmpty) k += 1
+          x += 1
+        }
+        y += 1
+      }
+      f += 1
+    }
+    bb.array()
+  }
+
+  /** Magic-sniffing decoder over all supported containers. RIFF dispatches
+    * on the form type: WAVE -> audio, 'AVI ' -> video. */
   def decodeMedia(bytes: Array[Byte]): MediaMeta = {
     if (bytes == null || bytes.length < 4)
       return invalid.copy(payload_bytes = if (bytes == null) 0 else bytes.length)
     if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
-    else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')
-      decodeWav(bytes)
-    else decodeStub(bytes)
+    else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') {
+      if (bytes.length >= 12 && bytes(8) == 'A' && bytes(9) == 'V' &&
+        bytes(10) == 'I' && bytes(11) == ' ') decodeAvi(bytes)
+      else decodeWav(bytes)
+    } else invalid.copy(payload_bytes = bytes.length)
   }
 
   /** Feature extraction over (media_id, bytes): batched per partition,
-    * one pass per blob; frame sampling = every `frameStepMs` over duration
-    * (stub: returns the sampled offsets; a real impl would decode frames). */
+    * one pass per blob; video frame sampling walks the AVI movi list and
+    * returns the BYTE OFFSET of each sampled frame's pixel data (one frame
+    * per `frameStepMs` of timeline, capped at 64). */
   def extractFeatures(df: DataFrame, idCol: String = "media_id",
                       bytesCol: String = "bytes", frameStepMs: Long = 1000L)
                      (implicit spark: SparkSession): DataFrame = {
@@ -202,8 +359,7 @@ object Multimodal {
           val meta = decodeMedia(bytes)
           val (mean, entropy) = byteStats(bytes)
           val frames =
-            if (meta.media_type == "video" && meta.duration_ms > 0)
-              (0L until meta.duration_ms by frameStepMs).take(64).toSeq
+            if (meta.media_type == "video") aviFrameOffsets(bytes, frameStepMs)
             else Seq.empty[Long]
           MediaFeatures(id, meta, mean, entropy, frames)
         }
@@ -236,7 +392,9 @@ object Multimodal {
     *       (payload_bytes = aligned stride * height);
     *  1 -> REAL PCM WAV, channels 1+id%2, 8 kHz, 8*(1+id%50) samples
     *       (duration_ms = 1+id%50 exactly);
-    *  2 -> GMM1 fake video header (the remaining stub type);
+    *  2 -> REAL uncompressed-DIB AVI, width 8+(id*37)%24, height
+    *       8+(id*53)%24, 5+id%20 frames at 5 fps (duration_ms =
+    *       200*(5+id%20); payload_bytes = stride*height*frames);
     *  3 -> corrupt blob (text bytes, no magic). */
   def mediaFromDoc(docId: Long, text: String): (Long, Array[Byte]) = {
     val t = (docId % 4).toInt
@@ -245,18 +403,14 @@ object Multimodal {
     val blob = t match {
       case 0 => encodeBmp((4 + (docId * 7) % 32).toInt, (4 + (docId * 11) % 32).toInt, payload)
       case 1 => encodeWav((1 + docId % 2).toInt, 8000, (8 * (1 + docId % 50)).toInt, payload)
-      case 2 => encodeStub(2,
-        (64 + (docId * 37) % 1920).toInt,
-        (64 + (docId * 53) % 1080).toInt,
-        (1 + docId % 4).toInt,
-        1000L + (docId * 97) % 60000,
-        payload)
+      case 2 => encodeAvi((8 + (docId * 37) % 24).toInt, (8 + (docId * 53) % 24).toInt,
+        (5 + docId % 20).toInt, 200000, payload)
       case _ => payload
     }
     (docId, blob)
   }
 
-  /** Deterministic fixture media table generator. */
+  /** Deterministic fixture media table generator (all real formats). */
   def mediaRow(i: Long, seed: Long = 42L): (Long, Array[Byte]) = {
     var x = seed * 0x9E3779B97F4A7C15L + i * 0xC2B2AE3D27D4EB4FL
     def next(): Long = {
@@ -269,10 +423,12 @@ object Multimodal {
     def nextInt(b: Int): Int = Math.floorMod(next(), b.toLong).toInt
     val t = nextInt(4) // 3 => corrupt blob
     val payload = Array.fill(64 + nextInt(512))(next().toByte)
-    val blob =
-      if (t == 3) payload // corrupt: no magic
-      else encodeStub(t, 64 + nextInt(1920), 64 + nextInt(1080), 1 + nextInt(4),
-        if (t == 2) 1000L + nextInt(60000) else 0L, payload)
+    val blob = t match {
+      case 0 => encodeBmp(4 + nextInt(60), 4 + nextInt(60), payload)
+      case 1 => encodeWav(1 + nextInt(2), 8000, 8 * (1 + nextInt(500)), payload)
+      case 2 => encodeAvi(4 + nextInt(28), 4 + nextInt(28), 1 + nextInt(24), 200000, payload)
+      case _ => payload // corrupt: no magic
+    }
     (i, blob)
   }
 }

@@ -262,13 +262,10 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------- multimodal
-  test("media stub: header round-trip, corrupt detection, batch features") {
+  test("media batch: all-real-format corpus, corrupt detection, batch features") {
     import spark.implicits._
-    val enc = Multimodal.encodeStub(2, 640, 480, 3, 5000L, Array.fill(100)(7.toByte))
-    val meta = Multimodal.decodeStub(enc)
-    assert(meta === Multimodal.MediaMeta("video", 640, 480, 3, 5000L, 100L, valid = true))
-    assert(!Multimodal.decodeStub(Array[Byte](1, 2, 3)).valid)
-    assert(!Multimodal.decodeStub(null).valid)
+    assert(!Multimodal.decodeMedia(Array[Byte](1, 2, 3)).valid)
+    assert(!Multimodal.decodeMedia(null).valid)
 
     val rows = (0 until 200).map(i => Multimodal.mediaRow(i.toLong))
     val df = rows.toDF("media_id", "bytes")
@@ -277,9 +274,43 @@ class OperatorsSpec extends AnyFunSuite {
     val byValid = feats.groupBy(_.getStruct(1).getBoolean(6))
     assert(byValid(true).length > 100)  // ~3/4 valid
     assert(byValid(false).length > 20)  // ~1/4 corrupt, handled not thrown
-    // video rows sample frames
+    // video rows sample real frame offsets
     val videos = feats.filter(_.getStruct(1).getString(0) == "video")
     assert(videos.nonEmpty && videos.forall(_.getSeq[Long](4).nonEmpty))
+  }
+
+  test("AVI decode: real container round-trip, frame offsets, truncation, fuzz") {
+    // 5x3 24-bit, 7 frames at 5 fps: stride = 16, frame = 48 bytes
+    val avi = Multimodal.encodeAvi(5, 3, 7, 200000, "videocontent".getBytes)
+    val m = Multimodal.decodeAvi(avi)
+    assert(m === Multimodal.MediaMeta("video", 5, 3, 3, 1400L, 7L * 48, valid = true))
+    assert(Multimodal.decodeMedia(avi) === m) // sniffed via RIFF form type
+    // 1400 ms sampled at 1000 ms -> frames 0 and 5; each returned offset
+    // must point at pixel data directly after a '00db' chunk header
+    val offs = Multimodal.aviFrameOffsets(avi, 1000L)
+    assert(offs.length === 2 && offs.distinct.length === 2)
+    offs.foreach { o =>
+      assert(o >= 12 && o + 48 <= avi.length)
+      assert(avi(o.toInt - 8) == '0' && avi(o.toInt - 7) == '0' &&
+        avi(o.toInt - 6) == 'd' && avi(o.toInt - 5) == 'b')
+    }
+    // compressed stream (biCompression != 0 in strf) rejected
+    val comp = avi.clone(); comp(188) = 1
+    assert(!Multimodal.decodeAvi(comp).valid)
+    // truncation mid-movi: headers intact, payload clamps to real chunks
+    val cut = Multimodal.decodeAvi(avi.take(avi.length - 40))
+    assert(cut.valid && cut.payload_bytes === 7L * 48 - 40)
+    // truncation before movi: no frame data -> invalid
+    assert(!Multimodal.decodeAvi(avi.take(150)).valid)
+    val rnd = new scala.util.Random(13)
+    (1 to 200).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(300))(rnd.nextInt.toByte)
+      if (junk.length >= 12) {
+        junk(0) = 'R'; junk(1) = 'I'; junk(2) = 'F'; junk(3) = 'F'
+        junk(8) = 'A'; junk(9) = 'V'; junk(10) = 'I'; junk(11) = ' '
+      }
+      Multimodal.decodeMedia(junk) // must not throw
+    }
   }
 
   test("BMP decode: real geometry round-trip, stride padding, truncation, fuzz") {
