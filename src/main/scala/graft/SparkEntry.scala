@@ -215,6 +215,14 @@ object SparkEntry {
             w => w.rlike("^[a-z]+$") && array_contains(wordlistLit, w))).as("n_recognized"))
         .orderBy("doc_id")
     }),
+    // ----- Gopher-style webtext quality verdicts (integer arithmetic) -----
+    "q_gopher_quality" -> ((s, dir) =>
+      graft.operators.QualityFilters.gopherFlags(tbl(s, dir, "documents"))
+        .orderBy("doc_id")),
+    // ----- CCNet-style corpus-wide line-level dedup stats -----
+    "q_line_dedup" -> ((s, dir) =>
+      graft.operators.QualityFilters.lineDedupStats(tbl(s, dir, "documents"))
+        .orderBy("doc_id")),
     // ----- MinHash near-dup detection (planted dups; LSH band join) -----
     "q_minhash_pairs" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -543,6 +551,34 @@ object SparkEntry {
     // future testdata change fails loudly there, not as a hash mystery here).
     "q_extract_text" ->
       "SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, 'other' AS doc_type, text AS extracted_text FROM documents ORDER BY url",
+    // Gopher rules restated as integer cross-multiplications (mean word
+    // length in [3,10] => 3n <= chars <= 10n etc.) — bit-exact both engines.
+    "q_gopher_quality" ->
+      (s"""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '$NonWs+') AS w FROM documents) """ +
+      """SELECT doc_id, len(w) AS n_words, """ +
+      """CAST(list_sum(list_transform(w, x -> length(x))) AS INTEGER) AS n_word_chars, """ +
+      """len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words, """ +
+      """len(list_filter(w, x -> regexp_matches(x, '^(#|\.\.\.)'))) AS n_symbol_words, """ +
+      """len(list_intersect(list_distinct(w), ['the','and','of','to','in','is','that','for','it','on'])) AS n_distinct_stop, """ +
+      """CASE WHEN len(w) >= 50 AND len(w) <= 100000 THEN 1 ELSE 0 END AS ok_word_count, """ +
+      """CASE WHEN CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) >= len(w) * 3 AND CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) <= len(w) * 10 THEN 1 ELSE 0 END AS ok_mean_word_len, """ +
+      """CASE WHEN len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 5 >= len(w) * 4 THEN 1 ELSE 0 END AS ok_alpha, """ +
+      """CASE WHEN len(list_filter(w, x -> regexp_matches(x, '^(#|\.\.\.)'))) * 10 <= len(w) THEN 1 ELSE 0 END AS ok_symbol, """ +
+      """CASE WHEN len(list_intersect(list_distinct(w), ['the','and','of','to','in','is','that','for','it','on'])) >= 2 THEN 1 ELSE 0 END AS ok_stop, """ +
+      """CASE WHEN len(w) >= 50 AND len(w) <= 100000 """ +
+      """AND CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) >= len(w) * 3 AND CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) <= len(w) * 10 """ +
+      """AND len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 5 >= len(w) * 4 """ +
+      """AND len(list_filter(w, x -> regexp_matches(x, '^(#|\.\.\.)'))) * 10 <= len(w) """ +
+      """AND len(list_intersect(list_distinct(w), ['the','and','of','to','in','is','that','for','it','on'])) >= 2 THEN 1 ELSE 0 END AS keep """ +
+      """FROM w ORDER BY doc_id"""),
+    // Same deterministic 8-word "line" derivation (list_slice mirrors
+    // Spark's slice), then corpus-wide occurrence counts.
+    "q_line_dedup" ->
+      (s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '$NonWs+') AS w FROM documents), """ +
+      """l AS (SELECT doc_id, unnest(list_transform(generate_series(0, (len(w) + 7) // 8 - 1), i -> array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' '))) AS line FROM w), """ +
+      """c AS (SELECT line, count(*) AS cnt FROM l GROUP BY line) """ +
+      """SELECT l.doc_id, count(*) AS n_lines, CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines """ +
+      """FROM l JOIN c USING (line) GROUP BY l.doc_id ORDER BY doc_id"""),
     "q_embed_neardup" -> embedNearDupOracleBrute,
     "q_embed_neardup_lsh" -> embedNearDupOracleLsh,
     "q_token_bpe" ->

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Webtext quality filters for LLM training-data pipelines, Spark-first:
+ * every rule is a pure column expression (whole-stage codegen, no UDF),
+ * so the flags compute inside the scan projection and a quality-gated
+ * corpus never materializes the rejected rows.
+ *
+ * Two public-knowledge rule families (reimplemented from the published
+ * descriptions, structure only — no external code):
+ *
+ *  - Gopher-style document rules (Rae et al. 2021 §A.1.1): word-count
+ *    window, mean-word-length window, alphabetic-word fraction,
+ *    symbol-to-word ratio, stop-word presence. All ratio thresholds are
+ *    evaluated with INTEGER cross-multiplication (e.g. mean word length
+ *    in [3,10] becomes 3*n_words <= n_chars <= 10*n_words) so the
+ *    verdicts are exact and engine-portable — no float comparisons.
+ *
+ *  - CCNet/RefinedWeb-style line-level dedup: hash every line of every
+ *    document, count occurrences across the corpus, and report per
+ *    document how many of its lines are corpus-wide duplicates
+ *    (boilerplate: headers, nav, cookie banners). The corpus here has
+ *    single-line texts, so "lines" are derived deterministically as
+ *    fixed 8-word chunks — the SAME derivation a SQL oracle can express;
+ *    a real HTML corpus would split on '\n' instead (one-arg overload
+ *    point below).
+ *
+ * Scale notes (100 TB): the flags are embarrassingly parallel (no
+ * shuffle). Line dedup shuffles twice, both keyed and partial-aggregated:
+ * (1) groupBy(line) with map-side combine to count occurrences — at real
+ * scale the shuffle key would be xxhash64(line) (8 bytes) rather than
+ * the line text; (2) the dup-only count set (usually tiny: boilerplate
+ * follows a power law) joins back — AQE will broadcast it when small,
+ * and the join stays shuffle-keyed when it is not. Never all-pairs.
+ */
+object QualityFilters {
+
+  private val NonWs = """[^ \t\n\x0B\f\r]"""
+  private val StopWords =
+    Seq("the", "and", "of", "to", "in", "is", "that", "for", "it", "on")
+
+  /** Words of a text column (ASCII-safe tokenizer, identical in DuckDB). */
+  def words(text: Column): Column =
+    regexp_extract_all(text, lit(NonWs + "+"), lit(0))
+
+  /**
+   * Gopher-style per-document quality verdicts. Output columns are all
+   * integers (counts and 0/1 flags) so an external SQL engine reproduces
+   * them bit-exactly.
+   *
+   * Deviations from the paper, documented: thresholds that need float
+   * ratios are restated as integer cross-multiplications; the
+   * line-shape rules (bullet/ellipsis line fractions) need real lines
+   * and live in the line-level path instead.
+   */
+  def gopherFlags(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val w = words(lower(col(textCol)))
+    val nWords = size(w)
+    // sum of word lengths via aggregate (codegen'd left fold, integer)
+    val nWordChars = aggregate(w, lit(0), (acc, x) => acc + length(x))
+    val nAlphaWords = size(filter(w, x => x.rlike("[a-z]")))
+    val nSymbolWords = size(filter(w, x => x.rlike("^(#|\\.\\.\\.)")))
+    val nDistinctStop = size(array_intersect(array_distinct(w),
+      array(StopWords.map(lit): _*)))
+    df.select(col(idCol), nWords.as("n_words"), nWordChars.as("n_word_chars"),
+        nAlphaWords.as("n_alpha_words"), nSymbolWords.as("n_symbol_words"),
+        nDistinctStop.as("n_distinct_stop"))
+      .withColumn("ok_word_count",
+        (col("n_words") >= minWords && col("n_words") <= maxWords).cast("int"))
+      .withColumn("ok_mean_word_len",
+        (col("n_word_chars") >= col("n_words") * 3 &&
+          col("n_word_chars") <= col("n_words") * 10).cast("int"))
+      // >= 80% of words contain an alphabetic character
+      .withColumn("ok_alpha",
+        (col("n_alpha_words") * 5 >= col("n_words") * 4).cast("int"))
+      // symbol-to-word ratio <= 0.1
+      .withColumn("ok_symbol",
+        (col("n_symbol_words") * 10 <= col("n_words")).cast("int"))
+      .withColumn("ok_stop", (col("n_distinct_stop") >= 2).cast("int"))
+      .withColumn("keep",
+        (col("ok_word_count") === 1 && col("ok_mean_word_len") === 1 &&
+          col("ok_alpha") === 1 && col("ok_symbol") === 1 &&
+          col("ok_stop") === 1).cast("int"))
+  }
+
+  /** Deterministic "lines" of a single-line corpus: consecutive 8-word
+    * chunks joined by one space (a SQL oracle expresses the same thing
+    * with list_slice + generate_series). Real multi-line corpora would
+    * use split(text, '\n') here instead. */
+  def derivedLines(text: Column, chunk: Int = 8): Column = {
+    val w = words(text)
+    when(size(w) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        // ceil(n/chunk)-1 in integer arithmetic (Column `/` is double division)
+        sequence(lit(0), floor((size(w) + (chunk - 1)) / chunk).cast("int") - 1),
+        i => array_join(slice(w, i * chunk + lit(1), lit(chunk)), " ")))
+  }
+
+  /**
+   * Corpus-wide line-level dedup stats: per document, how many of its
+   * lines occur more than once across the whole corpus (counting every
+   * occurrence, including repeats inside one document).
+   */
+  def lineDedupStats(df: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id", chunk: Int = 8): DataFrame = {
+    val lines = df.select(col(idCol), explode(derivedLines(col(textCol), chunk)).as("line"))
+    // occurrence count per distinct line: ONE shuffle, partial-aggregated
+    val counts = lines.groupBy(col("line")).agg(count(lit(1)).as("cnt"))
+    // only duplicated lines join back (power-law small; AQE broadcasts it)
+    val dups = counts.filter(col("cnt") > 1)
+    lines.join(dups, Seq("line"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("cnt").isNotNull, 1).otherwise(0)).as("n_dup_lines"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+class QualityFiltersSpec extends AnyFunSuite {
+
+  private implicit lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("quality-filters")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def flagsFor(text: String): Map[String, Int] = {
+    import spark.implicits._
+    val row = QualityFilters.gopherFlags(Seq((1L, text)).toDF("doc_id", "text"))
+      .collect().head
+    Seq("ok_word_count", "ok_mean_word_len", "ok_alpha", "ok_symbol", "ok_stop", "keep")
+      .map(c => c -> row.getAs[Int](c)).toMap
+  }
+
+  // 60 plain words incl. >=2 distinct stopwords: passes every rule
+  private val goodText =
+    (("the quick brown fox jumps over and over for fun" + " ") * 6).trim
+
+  test("gopher flags: clean text keeps, each rule fails for its own reason") {
+    val good = flagsFor(goodText)
+    assert(good.values.forall(_ == 1), s"expected all-pass: $good")
+
+    // too short (10 words)
+    val short = flagsFor("the cat and dog sat on the mat all day")
+    assert(short("ok_word_count") === 0 && short("keep") === 0)
+    assert(short("ok_stop") === 1) // other rules unaffected
+
+    // mean word length > 10
+    val longWords = flagsFor(Array.fill(60)("pneumonoultramicroscopic").mkString(" ")
+      + " the and of to")
+    assert(longWords("ok_mean_word_len") === 0 && longWords("keep") === 0)
+
+    // >20% purely numeric words -> alpha fraction below 0.8
+    val numeric = flagsFor((("12345 67890 " * 30) + "the and of in is it ").trim)
+    assert(numeric("ok_alpha") === 0 && numeric("keep") === 0)
+
+    // symbol-to-word ratio over 0.1 (every 5th word is '#')
+    val symbols = flagsFor((("alpha beta gamma delta # " * 12) + "the and").trim)
+    assert(symbols("ok_symbol") === 0 && symbols("keep") === 0)
+
+    // no stopwords at all
+    val noStop = flagsFor(Array.fill(60)("lorem").mkString(" "))
+    assert(noStop("ok_stop") === 0 && noStop("keep") === 0)
+  }
+
+  test("gopher flags stay in codegen: no UDF in the plan") {
+    import spark.implicits._
+    val plan = QualityFilters.gopherFlags(Seq((1L, goodText)).toDF("doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
+  }
+
+  test("derived lines: 8-word chunks, short tail, empty text") {
+    import spark.implicits._
+    val words = (1 to 17).map(i => s"w$i").mkString(" ")
+    val lines = Seq((1L, words), (2L, "")).toDF("doc_id", "text")
+      .select(col("doc_id"), QualityFilters.derivedLines(col("text")).as("lines"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(lines(1L) === Seq(
+      (1 to 8).map(i => s"w$i").mkString(" "),
+      (9 to 16).map(i => s"w$i").mkString(" "),
+      "w17"))
+    assert(lines(2L).isEmpty)
+  }
+
+  test("line dedup: corpus-wide duplicate chunks counted per document") {
+    import spark.implicits._
+    val shared = (1 to 8).map(i => s"dup$i").mkString(" ")
+    def uniq(d: Int, n: Int) = (1 to n * 8).map(i => s"u${d}x$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"$shared ${uniq(1, 2)}",      // 3 lines, 1 shared with doc 2
+      2L -> s"$shared ${uniq(2, 1)}",      // 2 lines, 1 shared with doc 1
+      3L -> s"$shared $shared",            // internal repeat also counts
+      4L -> uniq(4, 2)                     // fully unique
+    ).toDF("doc_id", "text")
+    val byId = QualityFilters.lineDedupStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byId(1L) === ((3L, 1L)))
+    assert(byId(2L) === ((2L, 1L)))
+    assert(byId(3L) === ((2L, 2L)))
+    assert(byId(4L) === ((2L, 0L)))
+  }
+}
