@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private implicit lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-extensions")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("registerAll: every shipped function callable from SQL, defaults and literal args") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT sanitize_text('abc') AS s,
+        |       printable_ratio('abc') AS pr,
+        |       text_quality('the cat and dog sat') AS q,
+        |       lang_id_ngram('the quick brown fox jumps over the lazy dog and runs far away from the house') AS lang,
+        |       simhash64('hello world hello') AS sh,
+        |       size(minhash_signature('hello world, this is a longer text')) AS m_default,
+        |       size(minhash_signature('hello world, this is a longer text', 16, 3, 7)) AS m_16,
+        |       size(winnow_fingerprints('some longer text for winnowing fingerprints right here')) AS w,
+        |       lsh_bucket(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT))) AS b,
+        |       size(lsh_probes(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)), 6, 2, 42, 3)) AS p,
+        |       minhash_band_hash(minhash_signature('abc def ghi'), 0, 4) AS bh
+        |""".stripMargin).collect().head
+    assert(r.getAs[String]("s") === "abc")
+    assert(r.getAs[Double]("pr") === 1.0)
+    assert(r.getAs[String]("lang") === "en")
+    assert(r.getAs[Long]("sh") !== 0L)
+    assert(r.getAs[Int]("m_default") === 64)
+    assert(r.getAs[Int]("m_16") === 16)
+    assert(r.getAs[Int]("w") > 0)
+    assert(r.getAs[Int]("p") === 4) // own bucket + 3 probes
+    // band hash must agree with the expression API on the same signature
+    val viaApi = {
+      import org.apache.spark.sql.functions._
+      import graft.functions.DedupFunctions
+      spark.range(1).select(DedupFunctions.minhash_band_hash(
+        DedupFunctions.minhash_signature(lit("abc def ghi")), lit(0), 4).as("bh"))
+        .collect().head.getLong(0)
+    }
+    assert(r.getAs[Long]("bh") === viaApi)
+  }
+
+  test("non-literal optional parameter rejected at analysis with a clear message") {
+    GraftFunctions.registerAll(spark)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT minhash_signature('x', length('ab') + 14, 3, 7)").collect()
+    }
+    assert(ex.getMessage.contains("integer literal"))
+  }
+
+  test("SparkSessionExtensions injection applies without error") {
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+}
