@@ -139,14 +139,19 @@ object Bench {
     counts.get.toDouble / ((System.nanoTime() - t0) / 1e9)
   }
 
-  /** Sustained effective core count: 32-thread aggregate rate over the
-    * single-thread rate, both held for ~4 s. ~32 on a quiet host; the
-    * number of full-speed cores the throttle budget amounts to otherwise. */
-  def effectiveCores(): Double = {
+  /** Sustained probe pair: (effective core count, single-thread rate).
+    * Cores = 32-thread aggregate over single-thread, both held ~4 s
+    * (~32 quiet; the throttle budget otherwise). The single-thread RATE
+    * is returned too: it anchors per-core SPEED across a scaling round —
+    * burst canaries miss sustained-speed collapses that make one child's
+    * window 20x slower per core than the other's (observed). */
+  def sustainedProbe(): (Double, Double) = {
     val r1 = hostSustainedRate(1)
     val rN = hostSustainedRate(32)
-    rN / math.max(r1, 1e-9)
+    (rN / math.max(r1, 1e-9), r1)
   }
+
+  def effectiveCores(): Double = sustainedProbe()._1
 
   /** Cache key for the materialized corpus: rows + a content probe of the
     * generator, so a PageGen change can never silently bench stale data. */
@@ -297,7 +302,8 @@ object Bench {
         def elapsedSec: Long = (System.nanoTime() - tStart) / 1000000000L
         final case class Round(lo: Int, hi: Int, dLo: Double, dHi: Double,
                                cs: Seq[Double], ec: Seq[Double],
-                               uLo: Double, uHi: Double) {
+                               uLo: Double, uHi: Double,
+                               sr1: Seq[Double]) {
           def eff: Double = (dHi / dLo) / (hi.toDouble / lo)
           // docs per consumed-CPU-second, hi over lo: normalizes away host
           // starvation (a child that only RECEIVED 65% of its cores is not
@@ -313,8 +319,15 @@ object Bench {
           // holder preemption starves the wider child — only self-measured
           // consumption certifies the comparison.
           def coresConsumed: Boolean = uLo >= lo * 0.6 && uHi >= hi * 0.6
-          def quiet: Boolean = capacityHeld && coresConsumed && cs.forall(_ < quietS)
-          def valid: Boolean = capacityHeld && coresConsumed &&
+          // per-core SPEED anchored by sustained single-thread rates taken
+          // before / between / after the children: a sustained-speed phase
+          // flip makes one child's window slower per core than the other's
+          // (observed 20x) without tripping burst canaries or consumption
+          def speedFlat: Boolean =
+            sr1.nonEmpty && sr1.min > 0 && sr1.max / sr1.min <= 1.3
+          def quiet: Boolean = capacityHeld && coresConsumed && speedFlat &&
+            cs.forall(_ < quietS)
+          def valid: Boolean = capacityHeld && coresConsumed && speedFlat &&
             cs.max <= 0.15 && cs.max / cs.min <= 1.3
         }
         val rounds = scala.collection.mutable.ArrayBuffer.empty[Round]
@@ -324,12 +337,12 @@ object Bench {
           // sustained-capacity gate + pair selection: don't spend ~2 min of
           // children inside a capacity dip a 10-second probe can predict.
           // Gating stops at 2/3 budget so the mandatory rounds always run.
-          var ec0 = effectiveCores()
+          var (ec0, r1Before) = sustainedProbe()
           var g = 0
           while (g < 8 && elapsedSec < budgetSec * 2 / 3 && ec0 < 3.5) {
             System.err.println(f"[scaling pre-gate] sustained capacity ${ec0}%.1f cores, waiting (probe $g)")
             Thread.sleep(15000)
-            ec0 = effectiveCores()
+            val p = sustainedProbe(); ec0 = p._1; r1Before = p._2
             g += 1
           }
           // the sustained probe measures COMPUTE capacity, but children can
@@ -355,15 +368,17 @@ object Bench {
           val first = runPinnedChild(if (hiFirst) hi else lo, rows)
           Thread.sleep(20000)
           val c1 = hostCanary()
+          val r1Mid = hostSustainedRate(1)
           val second = runPinnedChild(if (hiFirst) lo else hi, rows)
           val c2 = hostCanary()
-          val ec1 = effectiveCores()
+          val (ec1, r1After) = sustainedProbe()
           val ((dLo, uLo), (dHi, uHi)) =
             if (hiFirst) (second, first) else (first, second)
           if (dLo > 0 && dHi > 0) {
-            val round = Round(lo, hi, dLo, dHi, Seq(c0, c1, c2), Seq(ec0, ec1), uLo, uHi)
+            val round = Round(lo, hi, dLo, dHi, Seq(c0, c1, c2), Seq(ec0, ec1),
+              uLo, uHi, Seq(r1Before, r1Mid, r1After))
             rounds += round
-            System.err.println(f"[scaling round $r] pair=($lo,$hi) dLo=${dLo.round} dHi=${dHi.round} eff=${round.eff}%.3f effCpu=${round.effCpu}%.3f quiet=${round.quiet} valid=${round.valid} cs=${round.cs.map(c => f"$c%.3f").mkString(",")} cores=${round.ec.map(c => f"$c%.1f").mkString(",")} used=$uLo%.1f,$uHi%.1f")
+            System.err.println(f"[scaling round $r] pair=($lo,$hi) dLo=${dLo.round} dHi=${dHi.round} eff=${round.eff}%.3f effCpu=${round.effCpu}%.3f quiet=${round.quiet} valid=${round.valid} cs=${round.cs.map(c => f"$c%.3f").mkString(",")} cores=${round.ec.map(c => f"$c%.1f").mkString(",")} used=$uLo%.1f,$uHi%.1f sr1=${round.sr1.map(c => f"$c%.1f").mkString(",")}")
             // a strict-quiet round ends the loop; so do two valid rounds
             if (round.quiet || rounds.count(_.valid) >= 2) done = true
           }
@@ -382,7 +397,7 @@ object Bench {
             else if (record.valid) "ok_sustained"
             else "inconclusive"
           val roundsJson = rounds.map { rd =>
-            s"""{"pair":[${rd.lo},${rd.hi}],"d_lo":${rd.dLo.round},"d_hi":${rd.dHi.round},"eff":${"%.3f".format(rd.eff)},"eff_per_consumed_core":${"%.3f".format(rd.effCpu)},"quiet":${rd.quiet},"valid":${rd.valid},"canary_sec":${rd.cs.map(c => "%.4f".format(c)).mkString("[", ",", "]")},"effective_cores":${rd.ec.map(c => "%.1f".format(c)).mkString("[", ",", "]")},"cpus_used":[${"%.1f".format(rd.uLo)},${"%.1f".format(rd.uHi)}]}"""
+            s"""{"pair":[${rd.lo},${rd.hi}],"d_lo":${rd.dLo.round},"d_hi":${rd.dHi.round},"eff":${"%.3f".format(rd.eff)},"eff_per_consumed_core":${"%.3f".format(rd.effCpu)},"quiet":${rd.quiet},"valid":${rd.valid},"canary_sec":${rd.cs.map(c => "%.4f".format(c)).mkString("[", ",", "]")},"effective_cores":${rd.ec.map(c => "%.1f".format(c)).mkString("[", ",", "]")},"cpus_used":[${"%.1f".format(rd.uLo)},${"%.1f".format(rd.uHi)}],"sustained_rate_1t":${rd.sr1.map(c => "%.1f".format(c)).mkString("[", ",", "]")}}"""
           }.mkString("[", ",", "]")
           s""","scaling":{"pair":[${record.lo},${record.hi}],"docs_per_sec_${record.lo}":${record.dLo.round},"docs_per_sec_${record.hi}":${record.dHi.round},"efficiency":${"%.3f".format(record.eff)},"efficiency_per_consumed_core":${"%.3f".format(record.effCpu)},"cpus_used":[${"%.1f".format(record.uLo)},${"%.1f".format(record.uHi)}],"rows":$rows,"scaling_evidence":"$evidence","host_throttled":${!record.quiet},"round_of_record":${rounds.indexOf(record)},"rounds":$roundsJson}"""
         }

@@ -215,6 +215,36 @@ object SparkEntry {
             w => w.rlike("^[a-z]+$") && array_contains(wordlistLit, w))).as("n_recognized"))
         .orderBy("doc_id")
     }),
+    // ----- custom DataSource V2: WARC (ISO 28500) response records.
+    //       A deterministic doc-derived WARC corpus is written to local
+    //       disk once (content-tagged; SF changes regenerate), parsed back
+    //       through the from-scratch DSv2 reader, and reduced to integers
+    //       the oracle recomputes straight from the documents table. -----
+    "q_warc_roundtrip" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val tag = s"${docs.length}-${docs.map(_._2.length.toLong).sum}"
+      val outDir = new java.io.File(s"/tmp/graft-warc-$tag")
+      if (!new java.io.File(outDir, "_DONE").exists()) {
+        outDir.mkdirs()
+        val files = 4
+        (0 until files).foreach { f =>
+          val recs = docs.filter(_._1 % files == f).map { case (id, text) =>
+            (s"doc://$id",
+              java.time.Instant.parse("2026-01-01T00:00:00Z").plusSeconds(id).toString,
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          graft.sources.warc.WarcFixtures.writeWarc(
+            new java.io.File(outDir, s"part-$f.warc"), recs.toSeq)
+        }
+        new java.io.File(outDir, "_DONE").createNewFile()
+      }
+      s.read.format("graft.sources.warc.WarcDataSource")
+        .load(outDir.getAbsolutePath)
+        .select(col("url"), col("warc_date"),
+          length(col("content")).as("n_bytes")) // length(BINARY) = bytes
+        .orderBy("url")
+    }),
     // ----- Gopher-style webtext quality verdicts (integer arithmetic) -----
     "q_gopher_quality" -> ((s, dir) =>
       graft.operators.QualityFilters.gopherFlags(tbl(s, dir, "documents"))
@@ -579,6 +609,13 @@ object SparkEntry {
       """c AS (SELECT line, count(*) AS cnt FROM l GROUP BY line) """ +
       """SELECT l.doc_id, count(*) AS n_lines, CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines """ +
       """FROM l JOIN c USING (line) GROUP BY l.doc_id ORDER BY doc_id"""),
+    // The WARC chain (writer -> DSv2 parser) must reproduce exactly what
+    // the documents table says: url arithmetic, ISO-8601 second offsets,
+    // UTF-8 payload byte counts.
+    "q_warc_roundtrip" ->
+      ("SELECT 'doc://' || doc_id AS url, " +
+        "strftime(TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id), '%Y-%m-%dT%H:%M:%SZ') AS warc_date, " +
+        "octet_length(encode(text)) AS n_bytes FROM documents ORDER BY url"),
     "q_embed_neardup" -> embedNearDupOracleBrute,
     "q_embed_neardup_lsh" -> embedNearDupOracleLsh,
     "q_token_bpe" ->

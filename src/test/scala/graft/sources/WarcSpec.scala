@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.sources.warc.WarcFixtures
+
+class WarcSpec extends AnyFunSuite {
+
+  private implicit lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("warc-source")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpDir(): java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory("warc-spec").toFile
+    d.deleteOnExit()
+    d
+  }
+
+  private def readWarc(path: String) =
+    spark.read.format("graft.sources.warc.WarcDataSource").load(path)
+
+  test("roundtrip: records written by the fixture writer parse back exactly") {
+    val dir = tmpDir()
+    val recs1 = Seq(
+      ("http://a.example/1", "2026-01-01T00:00:01Z", "hello warc".getBytes("UTF-8")),
+      ("http://a.example/2", "2026-01-01T00:00:02Z", Array.tabulate(1000)(_.toByte)))
+    val recs2 = Seq(
+      ("http://b.example/3", "2026-01-01T00:00:03Z", "".getBytes("UTF-8")))
+    WarcFixtures.writeWarc(new java.io.File(dir, "a.warc"), recs1)
+    WarcFixtures.writeWarc(new java.io.File(dir, "b.warc"), recs2)
+    val got = readWarc(dir.getAbsolutePath)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getAs[Array[Byte]](2)).map(_.toSeq).orNull)).sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq("http://a.example/1", "http://a.example/2", "http://b.example/3"))
+    assert(got(0)._3 === "hello warc".getBytes("UTF-8").toSeq)
+    assert(got(1)._3.length === 1000)
+    assert(got(2)._3 === Seq.empty)
+    assert(got.map(_._2).toSeq === Seq("2026-01-01T00:00:01Z", "2026-01-01T00:00:02Z", "2026-01-01T00:00:03Z"))
+  }
+
+  test("non-response records are skipped; truncated tail yields prior records") {
+    val dir = tmpDir()
+    val f = new java.io.File(dir, "mixed.warc")
+    val out = new java.io.FileOutputStream(f)
+    def w(s: String): Unit = out.write(s.getBytes("UTF-8"))
+    // a warcinfo record (must be skipped)
+    w("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 9\r\n\r\nsoftware\n\r\n\r\n")
+    // a good response
+    w("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://x/1\r\n" +
+      "WARC-Date: 2026-02-02T00:00:00Z\r\nContent-Length: 4\r\n\r\nbody\r\n\r\n")
+    // a truncated record (claims 100 bytes, has 3)
+    w("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://x/2\r\nContent-Length: 100\r\n\r\nabc")
+    out.close()
+    val got = readWarc(dir.getAbsolutePath).collect()
+    assert(got.length === 1)
+    assert(got.head.getString(0) === "http://x/1")
+    assert(new String(got.head.getAs[Array[Byte]](2), "UTF-8") === "body")
+  }
+
+  test("column pruning reaches the reader: select url never materializes content") {
+    val dir = tmpDir()
+    WarcFixtures.writeWarc(new java.io.File(dir, "p.warc"),
+      Seq(("u://1", "2026-01-01T00:00:00Z", Array.fill(1 << 20)(7.toByte))))
+    val df = readWarc(dir.getAbsolutePath).select("url")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("content#"), plan) // BatchScan output pruned to url
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("u://1"))
+  }
+}
