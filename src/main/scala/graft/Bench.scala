@@ -230,13 +230,20 @@ object Bench {
     lines.find(_.startsWith("CHILD_RESULT")) match {
       case Some(l) =>
         val parts = l.split(" ")
-        // CHILD_RESULT <cpus> <docsPerSec> <cpusUsed>
-        (parts(2).toDouble, if (parts.length > 3) parts(3).toDouble else -1.0)
+        // CHILD_RESULT <cpus> <docsPerSec> <cpusUsed>; tolerate a malformed
+        // consumption field (it gates validity, it must not kill the bench)
+        def num(i: Int): Double =
+          if (parts.length > i) try parts(i).toDouble catch { case _: NumberFormatException => -1.0 }
+          else -1.0
+        (num(2), num(3))
       case None => (-1.0, -1.0)
     }
   }
 
   def main(args: Array[String]): Unit = {
+    // every f"" / .format below feeds machine-parsed JSON or CHILD_RESULT
+    // lines: a comma-decimal default locale would corrupt both
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val canaryBefore = hostCanary()
@@ -477,6 +484,7 @@ object ScalingBench {
   /** Orchestrator: fork one JVM per parallelism level with
     * -XX:ActiveProcessorCount pinned (see Bench.runPinnedChild). */
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // CHILD_RESULT/JSON are machine-parsed
     if (args.length >= 3 && args(0) == "child") { child(args(1).toInt, args(2).toLong); return }
     if (args.nonEmpty && args(0) == "canary") {
       // host-phase probe for scripted monitoring: single-thread and

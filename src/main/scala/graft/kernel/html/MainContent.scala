@@ -173,6 +173,14 @@ object MainContent {
       if (name == "title") { inTitle = false; return }
       if (InvisibleTags.contains(name)) { if (invisibleDepth > 0) invisibleDepth -= 1; return }
       if (name == "a") { if (anchorDepth > 0) anchorDepth -= 1; pendingSpace = true; return }
+      if ((name == "body" || name == "html") && classDropNames.nonEmpty) {
+        // safety valve: a class-hinted boiler container that was never
+        // closed (or mis-nested past its counted descendants) must not
+        // swallow the rest of the page — body/html end clears the scopes
+        dropDepth = math.max(0, dropDepth - classDropNames.size)
+        classDropNames.clear()
+        classDropOpens.clear()
+      }
       if (CountedContainers.contains(name) && classDropNames.nonEmpty) {
         val opens = classDropOpens.pop()
         if (opens > 0) classDropOpens.push(opens - 1)

@@ -70,6 +70,23 @@ object Fonts {
           glyphs += 1
           i += 2
         }
+      } else if (toUnicode == null && simple == null && bytes.length >= 2 &&
+                 (bytes(0) & 0xFF) == 0xFE && (bytes(1) & 0xFF) == 0xFF) {
+        // Width-only font (no /Encoding, no /ToUnicode) showing a
+        // BOM-prefixed string: keep the legacy UTF-16BE decode that
+        // TextInterp.decodeString applies on the no-decoder path — a
+        // per-byte latin-1 walk would emit mojibake here. Widths advance
+        // per 2-byte code unit (widthOf falls back to /MissingWidth for
+        // codes outside the /Widths range).
+        sb.append(new String(bytes, 2, bytes.length - 2,
+          java.nio.charset.StandardCharsets.UTF_16BE))
+        var i = 2
+        while (i + 1 < bytes.length) {
+          val code = ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF)
+          widthSum += widthOf(code)
+          glyphs += 1
+          i += 2
+        }
       } else {
         var i = 0
         while (i < bytes.length) {

@@ -97,15 +97,30 @@ object Similarity {
   def nearestCentroid(v: Array[Float], cents: Array[Array[Float]]): Int =
     nearestCentroids(v, cents, 1)(0)
 
+  private def centroidScore(v: Array[Float], p: Array[Float]): Double = {
+    var dot = 0.0; var nv = 0.0; var np = 0.0
+    val m = math.min(p.length, v.length)
+    var j = 0
+    while (j < m) { dot += v(j) * p(j); nv += v(j) * v(j); np += p(j) * p(j); j += 1 }
+    dot / (math.sqrt(nv) * math.sqrt(np) + 1e-12)
+  }
+
   def nearestCentroids(v: Array[Float], cents: Array[Array[Float]], n: Int): Array[Int] = {
-    val scored = cents.indices.map { c =>
-      val p = cents(c)
-      var dot = 0.0; var nv = 0.0; var np = 0.0
-      val m = math.min(p.length, v.length)
-      var j = 0
-      while (j < m) { dot += v(j) * p(j); nv += v(j) * v(j); np += p(j) * p(j); j += 1 }
-      (c, dot / (math.sqrt(nv) * math.sqrt(np) + 1e-12))
+    if (n == 1) {
+      // corpus-assignment hot path: plain argmax, no per-vector Seq/sort
+      // allocation. Strict `>` keeps the lowest index on score ties —
+      // identical to the general path's (-score, index) ordering.
+      var best = 0
+      var bestS = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        val s = centroidScore(v, cents(c))
+        if (s > bestS) { bestS = s; best = c }
+        c += 1
+      }
+      return Array(best)
     }
+    val scored = cents.indices.map(c => (c, centroidScore(v, cents(c))))
     scored.sortBy { case (c, s) => (-s, c) }.take(math.min(n, cents.length))
       .map(_._1).toArray
   }
