@@ -29,12 +29,16 @@ import org.apache.spark.sql.functions._
  *    point below).
  *
  * Scale notes (100 TB): the flags are embarrassingly parallel (no
- * shuffle). Line dedup shuffles twice, both keyed and partial-aggregated:
- * (1) groupBy(line) with map-side combine to count occurrences — at real
- * scale the shuffle key would be xxhash64(line) (8 bytes) rather than
- * the line text; (2) the dup-only count set (usually tiny: boilerplate
- * follows a power law) joins back — AQE will broadcast it when small,
- * and the join stays shuffle-keyed when it is not. Never all-pairs.
+ * shuffle). Line dedup shuffles twice, both keyed and partial-aggregated,
+ * and both keyed on xxhash64(line) — 8 bytes per key instead of the
+ * ~50–100 B line text, so the full-corpus shuffle moves hashes, never
+ * strings: (1) groupBy(hash) with map-side combine to count occurrences;
+ * (2) the dup-only count set (usually tiny: boilerplate follows a power
+ * law) joins back by hash — AQE will broadcast it when small, and the
+ * join stays shuffle-keyed when it is not. Never all-pairs. A 64-bit
+ * hash collision undercounts nothing and can only overcount a dup pair
+ * with probability ~n²/2⁶⁵ — the same accepted standard as the minhash
+ * band hash.
  */
 object QualityFilters {
 
@@ -107,12 +111,17 @@ object QualityFilters {
    */
   def lineDedupStats(df: DataFrame, textCol: String = "text",
                      idCol: String = "doc_id", chunk: Int = 8): DataFrame = {
-    val lines = df.select(col(idCol), explode(derivedLines(col(textCol), chunk)).as("line"))
-    // occurrence count per distinct line: ONE shuffle, partial-aggregated
-    val counts = lines.groupBy(col("line")).agg(count(lit(1)).as("cnt"))
+    // hash in the scan projection: every downstream shuffle/join moves the
+    // 8-byte hash, never the line text (the oracle stays text-keyed at
+    // test SFs — identical counts absent a 2^-64 collision)
+    val lines = df
+      .select(col(idCol), explode(derivedLines(col(textCol), chunk)).as("line"))
+      .select(col(idCol), xxhash64(col("line")).as("line_h"))
+    // occurrence count per distinct line hash: ONE shuffle, partial-aggregated
+    val counts = lines.groupBy(col("line_h")).agg(count(lit(1)).as("cnt"))
     // only duplicated lines join back (power-law small; AQE broadcasts it)
     val dups = counts.filter(col("cnt") > 1)
-    lines.join(dups, Seq("line"), "left")
+    lines.join(dups, Seq("line_h"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("cnt").isNotNull, 1).otherwise(0)).as("n_dup_lines"))

@@ -148,6 +148,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bucket aggregation missing:\n$plan")
   }
 
+  test("line-dedup exchanges are keyed on the 8-byte line hash, never the line text") {
+    val df = graft.operators.QualityFilters.lineDedupStats(
+      spark.read.parquet(s"$sf/documents.parquet"))
+    val plan = planOf(df)
+    val exchanges = plan.linesIterator.filter(_.contains("hashpartitioning")).toList
+    assert(exchanges.nonEmpty, s"no keyed exchange found:\n$plan")
+    // the count/join exchanges must partition on line_h (a BIGINT), not the
+    // raw line string — at corpus scale the difference is shuffling 8 bytes
+    // per line vs the full text twice
+    assert(exchanges.exists(_.contains("line_h")),
+      s"line_h is not an exchange key:\n$plan")
+    assert(!exchanges.exists(e => e.contains("line#") || e.contains("line,")),
+      s"an exchange still keys on the raw line text:\n$plan")
+  }
+
   test("aggregates use partial (map-side) aggregation") {
     val plan = planOf(SparkEntry.queries("q_lang_stats")(spark, sf))
     // two HashAggregate nodes: partial + final
