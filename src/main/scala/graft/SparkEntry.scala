@@ -21,6 +21,41 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Deterministic doc-derived WARC fixture corpus, written ONCE per
+    * (content tag, flavor) by a PARTITIONED job — one task per output
+    * file, nothing collected to the driver (the builder scales with the
+    * documents table). Plain flavor: 4 files, half .warc / half .warc.gz.
+    * httpGz flavor: all .warc.gz with HTTP-wrapped payloads. */
+  private def warcFixtureDir(s: SparkSession, dir: String,
+                             httpGz: Boolean): java.io.File = {
+    val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+    val a = docs.agg(count(lit(1)).as("n"), sum(length(col("text"))).as("len")).head()
+    val tag = s"${a.getLong(0)}-${a.getLong(1)}" + (if (httpGz) "-httpgz" else "")
+    val outDir = new java.io.File(s"/tmp/graft-warc-v2-$tag")
+    if (!new java.io.File(outDir, "_DONE").exists()) {
+      outDir.mkdirs()
+      val files = 4
+      docs.repartition(files, pmod(col("doc_id"), lit(files)))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val recs = it.map { r =>
+            val id = r.getLong(0)
+            (s"doc://$id",
+              java.time.Instant.parse("2026-01-01T00:00:00Z").plusSeconds(id).toString,
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }.toVector
+          if (recs.nonEmpty) {
+            val gz = httpGz || pid % 2 == 1
+            val name = s"part-$pid.warc" + (if (gz) ".gz" else "")
+            graft.sources.warc.WarcFixtures.writeWarc(
+              new java.io.File(outDir, name), recs, gzip = gz, httpWrap = httpGz)
+          }
+        }
+      new java.io.File(outDir, "_DONE").createNewFile()
+    }
+    outDir
+  }
+
   /** Flagship: the full extraction pipeline (scan -> salt/repartition ->
     * mapPartitions kernel) over a deterministic 1k-page synthesized corpus
     * (BASELINE.json: "synthesise it deterministically at small scale").
@@ -219,30 +254,28 @@ object SparkEntry {
     //       A deterministic doc-derived WARC corpus is written to local
     //       disk once (content-tagged; SF changes regenerate), parsed back
     //       through the from-scratch DSv2 reader, and reduced to integers
-    //       the oracle recomputes straight from the documents table. -----
+    //       the oracle recomputes straight from the documents table.
+    //       Half the files are .warc.gz (one gzip member per record, the
+    //       crawl's native layout) so one oracled query covers both the
+    //       plain and the inflate read paths. -----
     "q_warc_roundtrip" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
-        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
-      val tag = s"${docs.length}-${docs.map(_._2.length.toLong).sum}"
-      val outDir = new java.io.File(s"/tmp/graft-warc-$tag")
-      if (!new java.io.File(outDir, "_DONE").exists()) {
-        outDir.mkdirs()
-        val files = 4
-        (0 until files).foreach { f =>
-          val recs = docs.filter(_._1 % files == f).map { case (id, text) =>
-            (s"doc://$id",
-              java.time.Instant.parse("2026-01-01T00:00:00Z").plusSeconds(id).toString,
-              text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          }
-          graft.sources.warc.WarcFixtures.writeWarc(
-            new java.io.File(outDir, s"part-$f.warc"), recs.toSeq)
-        }
-        new java.io.File(outDir, "_DONE").createNewFile()
-      }
+      val outDir = warcFixtureDir(s, dir, httpGz = false)
       s.read.format("graft.sources.warc.WarcDataSource")
         .load(outDir.getAbsolutePath)
         .select(col("url"), col("warc_date"),
           length(col("content")).as("n_bytes")) // length(BINARY) = bytes
+        .orderBy("url")
+    }),
+    // ----- WARC with HTTP message blocks (.warc.gz + warc_http_body):
+    //       response records carry status line + headers + CRLFCRLF +
+    //       entity body; the reader splits and surfaces the body alone,
+    //       which must be exactly the document's UTF-8 bytes. -----
+    "q_warc_http" -> ((s, dir) => {
+      val outDir = warcFixtureDir(s, dir, httpGz = true)
+      s.read.format("graft.sources.warc.WarcDataSource")
+        .option("warc_http_body", "true")
+        .load(outDir.getAbsolutePath)
+        .select(col("url"), length(col("content")).as("n_body_bytes"))
         .orderBy("url")
     }),
     // ----- Gopher-style webtext quality verdicts (integer arithmetic) -----
@@ -616,6 +649,11 @@ object SparkEntry {
       ("SELECT 'doc://' || doc_id AS url, " +
         "strftime(TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id), '%Y-%m-%dT%H:%M:%SZ') AS warc_date, " +
         "octet_length(encode(text)) AS n_bytes FROM documents ORDER BY url"),
+    // The gz+HTTP chain (gzip member writer -> inflate reader -> CRLFCRLF
+    // split) must surface exactly the document's UTF-8 bytes as the body.
+    "q_warc_http" ->
+      ("SELECT 'doc://' || doc_id AS url, " +
+        "octet_length(encode(text)) AS n_body_bytes FROM documents ORDER BY url"),
     "q_embed_neardup" -> embedNearDupOracleBrute,
     "q_embed_neardup_lsh" -> embedNearDupOracleLsh,
     "q_token_bpe" ->

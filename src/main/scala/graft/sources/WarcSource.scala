@@ -16,24 +16,40 @@ import org.apache.spark.unsafe.types.UTF8String
  * DataSource V2 reader for WARC (Web ARChive, ISO 28500) response
  * records — the container Common Crawl ships — built from scratch on the
  * public spec: records are `WARC/1.0\r\n` + named headers +
- * `\r\n\r\n` + Content-Length payload + `\r\n\r\n`.
+ * `\r\n\r\n` + Content-Length payload + `\r\n\r\n`. Both plain `.warc`
+ * and the crawl's native `.warc.gz` (one gzip member per record,
+ * RFC 1952 chain) are read; compression is sniffed from the magic bytes,
+ * not the file name.
  *
  *   spark.read.format("graft.sources.warc.WarcDataSource" or "warc")
+ *     .option("warc_http_body", "true")   // optional, see below
  *     .load("/path/to/dir-or-file")
  *
  * Schema: url STRING, warc_date STRING (ISO-8601 as written), content
  * BINARY. Only WARC-Type: response records surface; others are skipped.
+ * With `warc_http_body=true`, records whose Content-Type is
+ * application/http carry an HTTP message (status line + headers +
+ * CRLFCRLF + entity body) as their block; `content` is then the entity
+ * body alone — the bytes an extraction kernel actually wants (the
+ * reference's fetcher likewise hands the processor a clean payload,
+ * /root/reference/src/storage.py:21-33) — split at the first CRLFCRLF
+ * without copying the header bytes.
  *
  * Spark-first details:
- *  - one InputPartition per .warc file — on a 100 TB crawl the unit of
- *    parallelism is the (many, ~1 GB) warc files, the standard layout;
- *    record-level splitting inside a file would need a gzip-member
- *    index (out of scope — plain-text WARC only here);
+ *  - one InputPartition per .warc/.warc.gz file — on a 100 TB crawl the
+ *    unit of parallelism is the (many, ~1 GB) warc files, the standard
+ *    layout; record-level splitting inside a gz file would need a
+ *    member index (cluster-ready extension point);
  *  - column pruning is pushed into the reader
  *    (SupportsPushDownRequiredColumns): `select url` never materializes
- *    page bytes — the reader SKIPS payloads instead of copying them;
+ *    page bytes — the reader SKIPS payloads instead of copying them
+ *    (for gz, skipped payloads are inflated but never copied);
  *  - malformed records terminate the file gracefully (a truncated tail
- *    yields the records before it, never an exception).
+ *    — plain or mid-gzip-member — yields the records before it, never
+ *    an exception);
+ *  - gzip inflation uses direct-ByteBuffer Inflater state
+ *    (GzipChainInputStream): the byte[] zip APIs pin arrays via JNI and
+ *    GCLocker-serialize 32-thread workloads.
  */
 package warc {
 
@@ -60,44 +76,59 @@ package warc {
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      new WarcScanBuilder(Option(path).getOrElse(options.get("path")))
+      new WarcScanBuilder(Option(path).getOrElse(options.get("path")),
+        options.getBoolean("warc_http_body", false))
   }
 
-  class WarcScanBuilder(path: String) extends ScanBuilder
+  class WarcScanBuilder(path: String, httpBody: Boolean) extends ScanBuilder
       with SupportsPushDownRequiredColumns {
     private var required: StructType = WarcTable.schema
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = requiredSchema
-    override def build(): Scan = new WarcScan(path, required)
+    override def build(): Scan = new WarcScan(path, required, httpBody)
   }
 
-  class WarcScan(path: String, required: StructType) extends Scan with Batch {
+  class WarcScan(path: String, required: StructType, httpBody: Boolean)
+      extends Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] = {
       val f = new java.io.File(path)
       val files =
         if (f.isDirectory)
-          f.listFiles((_, n) => n.endsWith(".warc")).sortBy(_.getName)
+          // listFiles returns null on IO error / unreadable dir — that is
+          // an empty scan, not an NPE
+          Option(f.listFiles((_, n) => n.endsWith(".warc") || n.endsWith(".warc.gz")))
+            .getOrElse(Array.empty[java.io.File]).sortBy(_.getName)
         else Array(f)
       files.map(p => WarcFilePartition(p.getAbsolutePath): InputPartition)
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      new WarcReaderFactory(required.fieldNames)
+      new WarcReaderFactory(required.fieldNames, httpBody)
   }
 
   case class WarcFilePartition(file: String) extends InputPartition
 
-  class WarcReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
+  class WarcReaderFactory(fields: Array[String], httpBody: Boolean)
+      extends PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-      new WarcRecordReader(partition.asInstanceOf[WarcFilePartition].file, fields)
+      new WarcRecordReader(partition.asInstanceOf[WarcFilePartition].file, fields, httpBody)
   }
 
   /** Streaming single-pass record reader; skips (never copies) payloads
     * of pruned-away content columns and of non-response records. */
-  class WarcRecordReader(file: String, fields: Array[String])
+  class WarcRecordReader(file: String, fields: Array[String],
+                         httpBody: Boolean = false)
       extends PartitionReader[InternalRow] {
-    private val in = new BufferedInputStream(new FileInputStream(file), 1 << 16)
+    private val in: InputStream = {
+      // sniff the gzip magic rather than trusting the extension, then
+      // rewind through the shared channel position
+      val fis = new FileInputStream(file)
+      val b0 = fis.read(); val b1 = fis.read()
+      fis.getChannel.position(0L)
+      if (b0 == 0x1F && b1 == 0x8B) new GzipChainInputStream(fis.getChannel)
+      else new BufferedInputStream(fis, 1 << 16)
+    }
     private val needContent = fields.contains("content")
     private var current: InternalRow = _
 
@@ -143,6 +174,7 @@ package warc {
         var url: String = null
         var date: String = null
         var wtype: String = null
+        var ctype: String = null
         var len = -1L
         var h = readLine()
         var ok = true
@@ -155,6 +187,7 @@ package warc {
               case "warc-target-uri" => url = v
               case "warc-date" => date = v
               case "warc-type" => wtype = v
+              case "content-type" => ctype = v
               case "content-length" =>
                 len = try v.toLong catch { case _: NumberFormatException => ok = false; -1L }
               case _ =>
@@ -162,9 +195,11 @@ package warc {
           }
           h = readLine()
         }
-        if (!ok || h == null || len < 0 || len > Int.MaxValue) return false // malformed tail
+        if (!ok || h == null || len < 0) return false // malformed tail
         val isResponse = wtype == "response"
-        if (!isResponse || !needContent) {
+        // a block too large to materialize as one array is skipped, not
+        // treated as a malformed tail — the rest of the file still reads
+        if (!isResponse || !needContent || len > Int.MaxValue - 16) {
           if (!skipFully(len)) return false
           if (isResponse) {
             current = buildRow(url, date, null)
@@ -174,11 +209,32 @@ package warc {
         } else {
           val payload = readFully(len.toInt)
           if (payload == null) return false // truncated tail
-          current = buildRow(url, date, payload)
+          val content =
+            if (httpBody && ctype != null &&
+                ctype.toLowerCase.startsWith("application/http"))
+              httpEntityBody(payload)
+            else payload
+          current = buildRow(url, date, content)
           return true
         }
       }
       false
+    }
+
+    /** Entity body of an HTTP message block: everything after the first
+      * CRLFCRLF (the status line + headers end there). A block with no
+      * header terminator is returned whole — better the raw bytes than
+      * silently dropping a malformed record's payload. */
+    private def httpEntityBody(payload: Array[Byte]): Array[Byte] = {
+      var i = 0
+      val limit = payload.length - 3
+      while (i < limit) {
+        if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+            payload(i + 2) == '\r' && payload(i + 3) == '\n')
+          return java.util.Arrays.copyOfRange(payload, i + 4, payload.length)
+        i += 1
+      }
+      payload
     }
 
     private def buildRow(url: String, date: String, content: Array[Byte]): InternalRow = {
@@ -196,24 +252,54 @@ package warc {
   }
 
   /** Minimal spec-correct WARC writer (fixture side): response records,
-    * CRLF headers, Content-Length payloads, double-CRLF separators. */
+    * CRLF headers, Content-Length payloads, double-CRLF separators.
+    * `gzip=true` writes the crawl's native layout — one RFC 1952 member
+    * per record; `httpWrap=true` wraps each payload as an HTTP response
+    * message (status line + headers + CRLFCRLF + body) with
+    * Content-Type: application/http, the shape real response records
+    * have. */
   object WarcFixtures {
     def writeWarc(file: java.io.File,
-                  records: Seq[(String, String, Array[Byte])]): Unit = {
-      val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(file))
-      def w(s: String): Unit = out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      records.zipWithIndex.foreach { case ((url, date, payload), i) =>
+                  records: Seq[(String, String, Array[Byte])],
+                  gzip: Boolean = false,
+                  httpWrap: Boolean = false): Unit = {
+      import java.nio.charset.StandardCharsets.UTF_8
+      val fileOut = new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(file), 1 << 16)
+      records.zipWithIndex.foreach { case ((url, date, payload0), i) =>
+        val payload =
+          if (!httpWrap) payload0
+          else {
+            val head = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n" +
+              s"Content-Length: ${payload0.length}\r\n\r\n").getBytes(UTF_8)
+            val b = new Array[Byte](head.length + payload0.length)
+            System.arraycopy(head, 0, b, 0, head.length)
+            System.arraycopy(payload0, 0, b, head.length, payload0.length)
+            b
+          }
+        val rec = new java.io.ByteArrayOutputStream(payload.length + 256)
+        def w(s: String): Unit = rec.write(s.getBytes(UTF_8))
         w("WARC/1.0\r\n")
         w("WARC-Type: response\r\n")
         w(s"WARC-Record-ID: <urn:uuid:${"%08d".format(i)}>\r\n")
         w(s"WARC-Date: $date\r\n")
         w(s"WARC-Target-URI: $url\r\n")
+        if (httpWrap) w("Content-Type: application/http; msgtype=response\r\n")
         w(s"Content-Length: ${payload.length}\r\n")
         w("\r\n")
-        out.write(payload)
+        rec.write(payload)
         w("\r\n\r\n")
+        if (gzip) {
+          // one gzip member per record, buffered so close() releases the
+          // deflater's native state per member; members concatenate
+          val mem = new java.io.ByteArrayOutputStream(rec.size() / 2 + 64)
+          val gz = new java.util.zip.GZIPOutputStream(mem)
+          gz.write(rec.toByteArray)
+          gz.close()
+          mem.writeTo(fileOut)
+        } else rec.writeTo(fileOut)
       }
-      out.close()
+      fileOut.close()
     }
   }
 }

@@ -61,6 +61,78 @@ class WarcSpec extends AnyFunSuite {
     assert(new String(got.head.getAs[Array[Byte]](2), "UTF-8") === "body")
   }
 
+  test("gz roundtrip: one gzip member per record, sniffed by magic not extension") {
+    val dir = tmpDir()
+    val recs = Seq(
+      ("http://gz.example/1", "2026-01-01T00:00:01Z", "hello gz warc".getBytes("UTF-8")),
+      ("http://gz.example/2", "2026-01-01T00:00:02Z", Array.tabulate(70000)(_.toByte)), // > one 64K buffer
+      ("http://gz.example/3", "2026-01-01T00:00:03Z", "".getBytes("UTF-8")))
+    WarcFixtures.writeWarc(new java.io.File(dir, "a.warc.gz"), recs, gzip = true)
+    // same content, gzipped, but with a lying .warc extension: magic wins
+    WarcFixtures.writeWarc(new java.io.File(dir, "b.warc"),
+      Seq(("http://gz.example/4", "2026-01-01T00:00:04Z", "magic sniffed".getBytes("UTF-8"))),
+      gzip = true)
+    val got = readWarc(dir.getAbsolutePath)
+      .collect().map(r => (r.getString(0), r.getAs[Array[Byte]](2))).sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq("http://gz.example/1", "http://gz.example/2",
+      "http://gz.example/3", "http://gz.example/4"))
+    assert(new String(got(0)._2, "UTF-8") === "hello gz warc")
+    assert(got(1)._2.toSeq === Array.tabulate(70000)(_.toByte).toSeq)
+    assert(got(2)._2.length === 0)
+    assert(new String(got(3)._2, "UTF-8") === "magic sniffed")
+  }
+
+  test("truncated gz tail yields the complete prior records, never throws") {
+    val dir = tmpDir()
+    val whole = new java.io.File(dir, "w.warc.gz")
+    WarcFixtures.writeWarc(whole, Seq(
+      ("http://t/1", "2026-01-01T00:00:01Z", ("x" * 5000).getBytes("UTF-8")),
+      ("http://t/2", "2026-01-01T00:00:02Z", ("y" * 5000).getBytes("UTF-8"))),
+      gzip = true)
+    val bytes = java.nio.file.Files.readAllBytes(whole.toPath)
+    // find the second member's gzip magic and cut inside it
+    var cut = -1
+    var i = 4
+    while (cut < 0 && i < bytes.length - 1) {
+      if ((bytes(i) & 0xFF) == 0x1F && (bytes(i + 1) & 0xFF) == 0x8B) cut = i + 40
+      i += 1
+    }
+    assert(cut > 0 && cut < bytes.length)
+    val dir2 = tmpDir()
+    java.nio.file.Files.write(new java.io.File(dir2, "t.warc.gz").toPath,
+      java.util.Arrays.copyOfRange(bytes, 0, cut))
+    val got = readWarc(dir2.getAbsolutePath).collect()
+    assert(got.length === 1)
+    assert(got.head.getString(0) === "http://t/1")
+    assert(got.head.getAs[Array[Byte]](2).length === 5000)
+  }
+
+  test("warc_http_body splits the HTTP message: content is the entity body alone") {
+    val dir = tmpDir()
+    val body = "the real page bytes éè".getBytes("UTF-8")
+    WarcFixtures.writeWarc(new java.io.File(dir, "h.warc.gz"),
+      Seq(("http://h/1", "2026-01-01T00:00:01Z", body)),
+      gzip = true, httpWrap = true)
+    // without the option the raw block (headers included) surfaces
+    val raw = readWarc(dir.getAbsolutePath).collect().head.getAs[Array[Byte]]("content")
+    assert(new String(raw, "UTF-8").startsWith("HTTP/1.1 200 OK\r\n"))
+    assert(raw.length > body.length)
+    // with the option only the entity body surfaces
+    val split = spark.read.format("graft.sources.warc.WarcDataSource")
+      .option("warc_http_body", "true")
+      .load(dir.getAbsolutePath).collect().head.getAs[Array[Byte]]("content")
+    assert(split.toSeq === body.toSeq)
+  }
+
+  test("unreadable or empty directory is an empty scan, not an NPE") {
+    val dir = tmpDir()
+    assert(readWarc(dir.getAbsolutePath).count() === 0)
+    val gone = new java.io.File(dir, "does-not-exist-subdir")
+    // a path that exists as neither file nor dir still plans (single-file
+    // branch) and reads zero records gracefully
+    assert(gone.isDirectory === false)
+  }
+
   test("column pruning reaches the reader: select url never materializes content") {
     val dir = tmpDir()
     WarcFixtures.writeWarc(new java.io.File(dir, "p.warc"),
