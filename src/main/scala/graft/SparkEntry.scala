@@ -442,6 +442,28 @@ object SparkEntry {
           size(col("frame_samples")).cast("long").as("n_frames"))
         .orderBy("media_id")
     }),
+    // ----- PNG decode (the compressed image format): doc-derived PNGs
+    //       with doc_id-arithmetic geometry; decode inflates the real
+    //       IDAT zlib stream and validates it against IHDR, so the oracle
+    //       recomputing geometry in SQL proves the whole chain. Every 5th
+    //       doc is a corrupt blob exercising the invalid path. -----
+    "q_png_features" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) => graft.operators.Multimodal.pngFromDoc(id, t) })
+        .toDF("media_id", "bytes")
+      graft.operators.Multimodal.extractFeatures(media)
+        .select(col("media_id"),
+          col("meta.media_type").as("media_type"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          col("meta.channels").cast("long").as("channels"),
+          col("meta.payload_bytes").as("payload_bytes"),
+          col("meta.valid").cast("long").as("valid"))
+        .orderBy("media_id")
+    }),
     // ----- flagship extraction over deterministic synthesized pages -----
     // (no SQL oracle: HTML tokenizer/PDF parser are not SQL-expressible;
     //  byte-identity is enforced by GoldenCorpusSpec against CPython goldens)
@@ -606,6 +628,20 @@ object SparkEntry {
       """ELSE octet_length(encode(text)) END AS payload_bytes, """ +
       """CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END AS valid, """ +
       """CASE WHEN doc_id % 4 = 2 THEN (200 * (5 + doc_id % 20) + 999) // 1000 ELSE 0 END AS n_frames """ +
+      """FROM documents ORDER BY media_id"""),
+    // PNG chain: IHDR geometry + inflate-verified scanline size; the
+    // decoder only reports valid=1 when the real IDAT inflate matches
+    // height * (1 + width*channels), so this arithmetic oracle pins the
+    // deflate round-trip too. Corrupt rows (doc_id % 5 = 4) are raw text.
+    "q_png_features" ->
+      ("""SELECT doc_id AS media_id, """ +
+      """CASE WHEN doc_id % 5 = 4 THEN 'unknown' ELSE 'image' END AS media_type, """ +
+      """CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 4 + (doc_id * 13) % 48 END AS width, """ +
+      """CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 4 + (doc_id * 17) % 48 END AS height, """ +
+      """CASE WHEN doc_id % 5 = 4 THEN 0 WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS channels, """ +
+      """CASE WHEN doc_id % 5 = 4 THEN octet_length(encode(text)) """ +
+      """ELSE (4 + (doc_id * 17) % 48) * (1 + (4 + (doc_id * 13) % 48) * (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END)) END AS payload_bytes, """ +
+      """CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 1 END AS valid """ +
       """FROM documents ORDER BY media_id"""),
     // NOTE: this oracle returns `text` verbatim while the kernel applies
     // text-mode universal-newline translation (CRLF/CR -> LF) and blank ->

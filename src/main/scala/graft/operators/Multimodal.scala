@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
  *    frame timing from the avih/strh/strf headers, payload from a real
  *    walk of the movi frame chunks, frame sampling returns the actual
  *    byte offsets of the sampled frames' pixel data;
+ *  - PNG (\x89PNG, non-interlaced): IHDR geometry + a REAL inflate of
+ *    the concatenated IDAT zlib stream, validated against the filtered
+ *    scanline size — the one compressed format in the set;
  *  - anything else decodes as invalid/unknown (never throws).
  */
 object Multimodal {
@@ -331,12 +334,178 @@ object Multimodal {
     bb.array()
   }
 
+  // --------------------------------------------------------------- PNG (real)
+  private def u32be(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+      ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+
+  private val PngSig: Array[Int] = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+
+  private def pngChannels(colorType: Int): Int = colorType match {
+    case 0 => 1 // greyscale
+    case 2 => 3 // truecolor
+    case 3 => 1 // palette index
+    case 4 => 2 // grey + alpha
+    case 6 => 4 // truecolor + alpha
+    case _ => -1
+  }
+
+  /** PNG (RFC 2083 / ISO 15948), non-interlaced: geometry and channel
+    * count from IHDR; the concatenated IDAT zlib stream is ACTUALLY
+    * inflated (PdfParser.inflate — direct-buffer, GCLocker-safe) and the
+    * decompressed size must equal height * (1 + rowBytes) filtered
+    * scanlines, so a blob with a lying IHDR or corrupt deflate data reads
+    * invalid. payload_bytes = that decompressed scanline size (the
+    * format's real geometry, like BMP's stride math). Chunk CRCs are not
+    * verified (zlib's own adler32 covers the pixel data; the byte[] CRC32
+    * API would pin arrays). Adam7-interlaced images report invalid
+    * (pass-size math out of scope; rare in the wild). */
+  def decodePng(bytes: Array[Byte]): MediaMeta = {
+    if (bytes == null || bytes.length < 8 + 25 ||
+        !(0 until 8).forall(i => (bytes(i) & 0xFF) == PngSig(i)))
+      return invalid.copy(payload_bytes = if (bytes == null) 0 else bytes.length)
+    // first chunk must be IHDR, length 13
+    if (u32be(bytes, 8) != 13L || !(0 until 4).forall(i => bytes(12 + i) == "IHDR".charAt(i).toByte))
+      return invalid.copy(payload_bytes = bytes.length)
+    val width = u32be(bytes, 16)
+    val height = u32be(bytes, 20)
+    val bitDepth = bytes(24) & 0xFF
+    val colorType = bytes(25) & 0xFF
+    val compression = bytes(26) & 0xFF
+    val filter = bytes(27) & 0xFF
+    val interlace = bytes(28) & 0xFF
+    val channels = pngChannels(colorType)
+    if (width <= 0 || height <= 0 || width > Int.MaxValue || height > Int.MaxValue ||
+        channels < 0 || compression != 0 || filter != 0 || interlace != 0 ||
+        !Set(1, 2, 4, 8, 16).contains(bitDepth))
+      return invalid.copy(payload_bytes = bytes.length)
+    // walk chunks, concatenating IDAT data until IEND
+    val idat = new java.io.ByteArrayOutputStream(1 << 12)
+    var off = 8 + 12 + 13 // past IHDR
+    var sawEnd = false
+    while (!sawEnd && off + 8 <= bytes.length) {
+      val len = u32be(bytes, off)
+      if (len < 0 || len > Int.MaxValue || off + 12 + len > bytes.length)
+        return invalid.copy(payload_bytes = bytes.length) // truncated chunk
+      val isIdat = (0 until 4).forall(i => bytes(off + 4 + i) == "IDAT".charAt(i).toByte)
+      val isIend = (0 until 4).forall(i => bytes(off + 4 + i) == "IEND".charAt(i).toByte)
+      if (isIdat) idat.write(bytes, off + 8, len.toInt)
+      if (isIend) sawEnd = true
+      off += 12 + len.toInt
+    }
+    if (!sawEnd || idat.size() == 0) return invalid.copy(payload_bytes = bytes.length)
+    val rowBytes = (width * channels * bitDepth + 7) / 8
+    val expected = height * (1 + rowBytes)
+    graft.kernel.pdf.PdfParser.inflate(idat.toByteArray) match {
+      case Some(raw) if raw.length.toLong == expected =>
+        MediaMeta("image", width.toInt, height.toInt, channels, 0L, expected, valid = true)
+      case _ => invalid.copy(payload_bytes = bytes.length)
+    }
+  }
+
+  // CRC-32 (ISO 3309) table-driven, pure JVM — the java.util.zip byte[]
+  // API pins arrays via JNI and this runs inside 32-thread tasks
+  private lazy val crcTable: Array[Int] = Array.tabulate(256) { n =>
+    var c = n
+    var k = 0
+    while (k < 8) { c = if ((c & 1) != 0) 0xEDB88320 ^ (c >>> 1) else c >>> 1; k += 1 }
+    c
+  }
+  private def crc32(b: Array[Byte], off: Int, len: Int): Int = {
+    var c = 0xFFFFFFFF
+    var i = off
+    val end = off + len
+    while (i < end) { c = crcTable((c ^ b(i)) & 0xFF) ^ (c >>> 8); i += 1 }
+    c ^ 0xFFFFFFFF
+  }
+
+  /** Minimal PNG writer (fixture side): bitDepth 8, colorType 0 (grey) or
+    * 2 (RGB), non-interlaced, filter 0 per scanline, pixel bytes cycled
+    * from `content`. The IDAT zlib stream uses STORED deflate blocks with
+    * a hand-computed adler32 — fully from-scratch, nothing pinned, and
+    * the JDK Inflater (so any PNG reader) inflates it fine. */
+  def encodePng(width: Int, height: Int, colorType: Int, content: Array[Byte]): Array[Byte] = {
+    require(colorType == 0 || colorType == 2, "writer supports grey/RGB only")
+    val channels = pngChannels(colorType)
+    val rowBytes = width * channels
+    val raw = new Array[Byte]((1 + rowBytes) * height)
+    var k = 0
+    var y = 0
+    while (y < height) {
+      val base = y * (1 + rowBytes) // raw(base) stays 0: filter type None
+      var x = 0
+      while (x < rowBytes) {
+        if (content.nonEmpty) { raw(base + 1 + x) = content(k % content.length); k += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    // zlib wrap: 0x78 0x01 header, stored blocks (<= 65535 each), adler32
+    val nBlocks = math.max(1, (raw.length + 65534) / 65535)
+    val z = new Array[Byte](2 + nBlocks * 5 + raw.length + 4)
+    z(0) = 0x78; z(1) = 0x01
+    var zo = 2
+    var ro = 0
+    while (ro < raw.length || (raw.length == 0 && ro == 0)) {
+      val len = math.min(65535, raw.length - ro)
+      val isFinal = ro + len >= raw.length
+      z(zo) = if (isFinal) 1 else 0
+      z(zo + 1) = (len & 0xFF).toByte; z(zo + 2) = ((len >> 8) & 0xFF).toByte
+      z(zo + 3) = (~len & 0xFF).toByte; z(zo + 4) = ((~len >> 8) & 0xFF).toByte
+      System.arraycopy(raw, ro, z, zo + 5, len)
+      zo += 5 + len
+      ro += len
+      if (raw.length == 0) ro = 1 // emitted the single empty final block
+    }
+    var a = 1L; var b = 0L
+    var i = 0
+    while (i < raw.length) { a = (a + (raw(i) & 0xFF)) % 65521; b = (b + a) % 65521; i += 1 }
+    val adler = (b << 16) | a
+    z(zo) = ((adler >> 24) & 0xFF).toByte; z(zo + 1) = ((adler >> 16) & 0xFF).toByte
+    z(zo + 2) = ((adler >> 8) & 0xFF).toByte; z(zo + 3) = (adler & 0xFF).toByte
+
+    val outSize = 8 + 25 + (12 + z.length) + 12
+    val png = java.nio.ByteBuffer.allocate(outSize)
+    PngSig.foreach(s => png.put(s.toByte))
+    def chunk(tag: String, data: Array[Byte]): Unit = {
+      png.putInt(data.length)
+      val typeAndData = new Array[Byte](4 + data.length)
+      (0 until 4).foreach(i => typeAndData(i) = tag.charAt(i).toByte)
+      System.arraycopy(data, 0, typeAndData, 4, data.length)
+      png.put(typeAndData)
+      png.putInt(crc32(typeAndData, 0, typeAndData.length))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(width).putInt(height).put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", z)
+    chunk("IEND", Array.emptyByteArray)
+    png.array()
+  }
+
+  /** Doc-derived PNG blob for the SQL-oracled PNG query: geometry is pure
+    * doc_id arithmetic (width 4+(id*13)%48, height 4+(id*17)%48, RGB for
+    * even ids / grey for odd), pixels cycled from the doc text. Every 5th
+    * doc is a corrupt blob (raw text bytes, no signature) so the invalid
+    * path is oracled too. */
+  def pngFromDoc(docId: Long, text: String): (Long, Array[Byte]) = {
+    val payload = (if (text == null) "" else text)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val blob =
+      if (docId % 5 == 4) payload
+      else encodePng((4 + (docId * 13) % 48).toInt, (4 + (docId * 17) % 48).toInt,
+        if (docId % 2 == 0) 2 else 0, payload)
+    (docId, blob)
+  }
+
   /** Magic-sniffing decoder over all supported containers. RIFF dispatches
     * on the form type: WAVE -> audio, 'AVI ' -> video. */
   def decodeMedia(bytes: Array[Byte]): MediaMeta = {
     if (bytes == null || bytes.length < 4)
       return invalid.copy(payload_bytes = if (bytes == null) 0 else bytes.length)
     if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else if ((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P') decodePng(bytes)
     else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') {
       if (bytes.length >= 12 && bytes(8) == 'A' && bytes(9) == 'V' &&
         bytes(10) == 'I' && bytes(11) == ' ') decodeAvi(bytes)

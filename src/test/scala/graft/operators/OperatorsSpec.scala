@@ -353,4 +353,65 @@ class OperatorsSpec extends AnyFunSuite {
       Multimodal.decodeMedia(junk) // must not throw
     }
   }
+
+  test("PNG decode: IHDR geometry, real IDAT inflate, corruption, fuzz") {
+    // 7x5 RGB: rowBytes = 21, scanlines = 5 * (1 + 21) = 110
+    val png = Multimodal.encodePng(7, 5, 2, "pngcontent".getBytes)
+    val m = Multimodal.decodePng(png)
+    assert(m === Multimodal.MediaMeta("image", 7, 5, 3, 0L, 110L, valid = true))
+    assert(Multimodal.decodeMedia(png) === m) // sniffed by magic
+    // greyscale: rowBytes = width
+    val grey = Multimodal.decodePng(Multimodal.encodePng(9, 4, 0, Array.emptyByteArray))
+    assert(grey === Multimodal.MediaMeta("image", 9, 4, 1, 0L, 40L, valid = true))
+    // a blob bigger than one stored deflate block (> 65535 raw bytes)
+    val big = Multimodal.decodePng(Multimodal.encodePng(200, 150, 2, "x".getBytes))
+    assert(big.valid && big.payload_bytes === 150L * (1 + 600))
+    // the JDK's own encoder must also decode: a dynamic-huffman zlib IDAT
+    // (proves the decoder reads real deflate, not just our stored blocks)
+    // -- re-deflate our raw scanlines with default compression
+    val raw = graft.kernel.pdf.PdfParser.inflate {
+      // slice the IDAT data back out of our own png: chunk walk
+      var off = 8 + 25
+      var idat: Array[Byte] = null
+      while (idat == null) {
+        val len = ((png(off) & 0xFF) << 24) | ((png(off + 1) & 0xFF) << 16) |
+          ((png(off + 2) & 0xFF) << 8) | (png(off + 3) & 0xFF)
+        val tag = new String(png, off + 4, 4, "US-ASCII")
+        if (tag == "IDAT") idat = java.util.Arrays.copyOfRange(png, off + 8, off + 8 + len)
+        off += 12 + len
+      }
+      idat
+    }.get
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val comp = new Array[Byte](raw.length + 64)
+    val n = d.deflate(comp)
+    d.end()
+    val ihdr = java.util.Arrays.copyOfRange(png, 8, 8 + 25)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    out.write(ihdr)
+    val bb = java.nio.ByteBuffer.allocate(8).putInt(n).put("IDAT".getBytes, 0, 4)
+    out.write(bb.array()); out.write(comp, 0, n); out.write(new Array[Byte](4)) // CRC unchecked
+    out.write(java.nio.ByteBuffer.allocate(8).putInt(0).put("IEND".getBytes, 0, 4).array())
+    out.write(new Array[Byte](4))
+    val rezipped = Multimodal.decodePng(out.toByteArray)
+    assert(rezipped.valid && rezipped.payload_bytes === 110L)
+    // corrupt deflate data -> invalid (the inflate really runs)
+    val bad = png.clone()
+    bad(8 + 25 + 8 + 3) = (bad(8 + 25 + 8 + 3) ^ 0x5A).toByte
+    assert(!Multimodal.decodePng(bad).valid)
+    // lying IHDR (claims a different height) -> inflate size mismatch -> invalid
+    val lying = png.clone(); lying(23) = 9 // height low byte
+    assert(!Multimodal.decodePng(lying).valid)
+    // truncation and fuzz never throw
+    assert(!Multimodal.decodePng(png.take(30)).valid)
+    assert(!Multimodal.decodePng(png.take(png.length - 14)).valid) // IEND gone
+    val rnd = new scala.util.Random(13)
+    (1 to 200).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(300))(rnd.nextInt.toByte)
+      if (junk.length >= 2) { junk(0) = 0x89.toByte; junk(1) = 'P' }
+      Multimodal.decodeMedia(junk) // must not throw
+    }
+  }
 }
