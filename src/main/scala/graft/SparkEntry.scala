@@ -465,8 +465,11 @@ object SparkEntry {
         .orderBy("media_id")
     }),
     // ----- flagship extraction over deterministic synthesized pages -----
-    // (no SQL oracle: HTML tokenizer/PDF parser are not SQL-expressible;
-    //  byte-identity is enforced by GoldenCorpusSpec against CPython goldens)
+    // Oracled against fixtures/expected/extract_pipeline.parquet: per-url
+    // text_md5/n_chars computed INDEPENDENTLY from the CPython goldens for
+    // html/other rows (tools/gen_extract_fixture.py cross-checks and
+    // refuses to freeze on drift); pdf rows + n_spans are engine pins
+    // (PdfSpec/GoldenCorpusSpec carry their byte-level evidence).
     "q_extract_pipeline" -> ((s, dir) => {
       import s.implicits._
       val pages = s.range(2000)
@@ -482,7 +485,7 @@ object SparkEntry {
       }.toDF()
         .select(col("url"), col("doc_type"),
           md5(coalesce(col("extracted_text"), lit(""))).as("text_md5"),
-          col("n_chars"), size(col("spans")).as("n_spans"))
+          col("n_chars"), size(col("spans")).cast("long").as("n_spans"))
         .orderBy("url")
     }),
     // ----- the REAL extraction kernel over the testdata documents table:
@@ -726,13 +729,23 @@ object SparkEntry {
     "q_ann_ivf" ->
       ("SELECT query_id, vec_id, rank FROM read_parquet('/root/repo/fixtures/expected/ann_ivf.parquet') " +
         "WHERE corpus_tag = (SELECT count(*) || '-' || sum(length(text)) FROM documents) ORDER BY query_id, rank"),
-    // Status rollup over the deterministic PageGen-2000 corpus: the corpus is
-    // SF-independent, so the expected counts are frozen literals (regression
-    // pin; the underlying per-document byte-identity vs CPython is enforced
-    // by GoldenCorpusSpec, not by this rollup).
+    // Flagship pipeline over the PageGen-2000 corpus (SF-independent), per
+    // url: md5 + code-point count + span count vs the frozen fixture —
+    // CPython-derived for html/other, engine-pinned for pdf (see the
+    // fixture generator's provenance header).
+    "q_extract_pipeline" ->
+      ("SELECT url, doc_type, text_md5, n_chars, n_spans " +
+        "FROM read_parquet('/root/repo/fixtures/expected/extract_pipeline.parquet') " +
+        "WHERE corpus_tag = 'pagegen-2000-42' ORDER BY url"),
+    // Status rollup DERIVED from the same frozen fixture (done_empty <=>
+    // null text <=> md5 of the empty string) — no hand-copied literals, so
+    // the rollup can only match if the per-url fixture does.
     "q_extract_status" ->
-      ("SELECT * FROM (VALUES ('done','html',1183), ('done','other',302), ('done','pdf',306), " +
-        "('done_empty','other',201), ('done_empty','pdf',8)) AS t(status, doc_type, n) ORDER BY status, doc_type"),
+      ("SELECT CASE WHEN text_md5 = md5('') THEN 'done_empty' ELSE 'done' END AS status, " +
+        "doc_type, count(*) AS n " +
+        "FROM read_parquet('/root/repo/fixtures/expected/extract_pipeline.parquet') " +
+        "WHERE corpus_tag = 'pagegen-2000-42' " +
+        "GROUP BY status, doc_type ORDER BY status, doc_type"),
     "q_lang_id" ->
       """SELECT doc_id, len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|with|was)\b')) AS s_en, len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b')) AS s_de, len(regexp_extract_all(lower(text), '\b(el|la|los|las|de|que|es|en|un|una)\b')) AS s_es, CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en' WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS lang_guess FROM documents ORDER BY doc_id"""
   )
