@@ -286,6 +286,26 @@ object SparkEntry {
     "q_line_dedup" -> ((s, dir) =>
       graft.operators.QualityFilters.lineDedupStats(tbl(s, dir, "documents"))
         .orderBy("doc_id")),
+    // ----- Gopher line-shape rules over a derived MULTI-LINE corpus:
+    //       the single-line docs are chunked into 8-word lines, and
+    //       bullets/ellipses are planted by doc_id+line arithmetic so the
+    //       oracle reproduces the exact corpus. Spark and DuckDB both go
+    //       through join('\n') -> split('\n') so edge cases (empty text)
+    //       stay bit-identical. -----
+    "q_line_shape" -> ((s, dir) => {
+      val chunked = graft.operators.QualityFilters.derivedLines(col("text"))
+      val decorated = transform(chunked, (l, i) => {
+        val k = col("doc_id") + i
+        when(pmod(k, lit(7)) === 0,
+          concat(when(pmod(k, lit(2)) === 0, lit("- ")).otherwise(lit("* ")), l))
+          .when(pmod(k, lit(11)) === 3, concat(l, lit("...")))
+          .otherwise(l)
+      })
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), array_join(decorated, "\n").as("mtext"))
+      graft.operators.QualityFilters.lineShapeFlags(docs, "mtext")
+        .orderBy("doc_id")
+    }),
     // ----- MinHash near-dup detection (planted dups; LSH band join) -----
     "q_minhash_pairs" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -688,6 +708,23 @@ object SparkEntry {
       ("SELECT 'doc://' || doc_id AS url, " +
         "strftime(TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id), '%Y-%m-%dT%H:%M:%SZ') AS warc_date, " +
         "octet_length(encode(text)) AS n_bytes FROM documents ORDER BY url"),
+    // Same chunk derivation + the same planted-decoration arithmetic, then
+    // the same join/split round-trip, so every line-shape count is exact.
+    "q_line_shape" ->
+      (s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '$NonWs+') AS w FROM documents), """ +
+      """d AS (SELECT doc_id, list_transform(generate_series(0, (len(w) + 7) // 8 - 1), i -> """ +
+      """CASE WHEN (doc_id + i) % 7 = 0 THEN (CASE WHEN (doc_id + i) % 2 = 0 THEN '- ' ELSE '* ' END) || array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' ') """ +
+      """WHEN (doc_id + i) % 11 = 3 THEN array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' ') || '...' """ +
+      """ELSE array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' ') END) AS lines FROM w), """ +
+      """l AS (SELECT doc_id, str_split(array_to_string(lines, chr(10)), chr(10)) AS ls FROM d) """ +
+      """SELECT doc_id, len(ls) AS n_lines, """ +
+      """len(list_filter(ls, x -> starts_with(x, '- ') OR starts_with(x, '* '))) AS n_bullet_lines, """ +
+      """len(list_filter(ls, x -> ends_with(x, '...'))) AS n_ellipsis_lines, """ +
+      """CASE WHEN len(list_filter(ls, x -> starts_with(x, '- ') OR starts_with(x, '* '))) * 10 <= len(ls) * 9 THEN 1 ELSE 0 END AS ok_bullet, """ +
+      """CASE WHEN len(list_filter(ls, x -> ends_with(x, '...'))) * 10 <= len(ls) * 3 THEN 1 ELSE 0 END AS ok_ellipsis, """ +
+      """CASE WHEN len(list_filter(ls, x -> starts_with(x, '- ') OR starts_with(x, '* '))) * 10 <= len(ls) * 9 """ +
+      """AND len(list_filter(ls, x -> ends_with(x, '...'))) * 10 <= len(ls) * 3 THEN 1 ELSE 0 END AS keep """ +
+      """FROM l ORDER BY doc_id"""),
     // The gz+HTTP chain (gzip member writer -> inflate reader -> CRLFCRLF
     // split) must surface exactly the document's UTF-8 bytes as the body.
     "q_warc_http" ->

@@ -105,6 +105,33 @@ object QualityFilters {
   }
 
   /**
+   * Gopher-style line-shape rules over REAL lines ('\n'-split): at most
+   * 90% of lines may start with a bullet ("- " / "* ") and at most 30%
+   * may end with an ellipsis ("..."). These are the two §A.1.1 rules
+   * gopherFlags defers ("line-shape rules need real lines"); they live
+   * here because they only make sense on multi-line text. Thresholds are
+   * integer cross-multiplied like every other rule (exact, portable),
+   * and everything is a codegen column expression — no shuffle, no UDF.
+   */
+  def lineShapeFlags(df: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val nLines = size(lines)
+    val nBullet = size(filter(lines, l => l.startsWith("- ") || l.startsWith("* ")))
+    val nEllipsis = size(filter(lines, l => l.endsWith("...")))
+    df.select(col(idCol), nLines.as("n_lines"), nBullet.as("n_bullet_lines"),
+        nEllipsis.as("n_ellipsis_lines"))
+      // <= 90% bullet-started lines
+      .withColumn("ok_bullet",
+        (col("n_bullet_lines") * 10 <= col("n_lines") * 9).cast("int"))
+      // <= 30% ellipsis-ended lines
+      .withColumn("ok_ellipsis",
+        (col("n_ellipsis_lines") * 10 <= col("n_lines") * 3).cast("int"))
+      .withColumn("keep",
+        (col("ok_bullet") === 1 && col("ok_ellipsis") === 1).cast("int"))
+  }
+
+  /**
    * Corpus-wide line-level dedup stats: per document, how many of its
    * lines occur more than once across the whole corpus (counting every
    * occurrence, including repeats inside one document).

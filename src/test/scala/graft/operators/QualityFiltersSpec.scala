@@ -72,6 +72,36 @@ class QualityFiltersSpec extends AnyFunSuite {
     assert(lines(2L).isEmpty)
   }
 
+  test("line-shape flags: bullet and ellipsis fractions, planted failures") {
+    import spark.implicits._
+    def shapeFor(text: String): (Long, Long, Long, Int, Int, Int) = {
+      val r = QualityFilters.lineShapeFlags(Seq((1L, text)).toDF("doc_id", "text"))
+        .collect().head
+      (r.getAs[Int]("n_lines").toLong, r.getAs[Int]("n_bullet_lines").toLong,
+        r.getAs[Int]("n_ellipsis_lines").toLong, r.getAs[Int]("ok_bullet"),
+        r.getAs[Int]("ok_ellipsis"), r.getAs[Int]("keep"))
+    }
+    // clean prose: keeps
+    assert(shapeFor("first line\nsecond line\nthird line") ===
+      ((3L, 0L, 0L, 1, 1, 1)))
+    // all-bullet list (10/10 > 90%): rejected by the bullet rule alone
+    val bullets = (1 to 10).map(i => s"- item $i").mkString("\n")
+    assert(shapeFor(bullets) === ((10L, 10L, 0L, 0, 1, 0)))
+    // 9/10 bullets: exactly at the <= 90% boundary, keeps
+    val nineBullets = ((1 to 9).map(i => s"* item $i") :+ "prose tail").mkString("\n")
+    assert(shapeFor(nineBullets) === ((10L, 9L, 0L, 1, 1, 1)))
+    // 4/10 ellipsis-ended (> 30%): rejected by the ellipsis rule alone
+    val ell = ((1 to 4).map(i => s"teaser $i...") ++ (5 to 10).map(i => s"line $i")).mkString("\n")
+    assert(shapeFor(ell) === ((10L, 0L, 4L, 1, 0, 0)))
+    // 3/10: at the <= 30% boundary, keeps
+    val ell3 = ((1 to 3).map(i => s"teaser $i...") ++ (4 to 10).map(i => s"line $i")).mkString("\n")
+    assert(shapeFor(ell3) === ((10L, 0L, 3L, 1, 1, 1)))
+    // stays in codegen
+    val plan = QualityFilters.lineShapeFlags(Seq((1L, "a\nb")).toDF("doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
+  }
+
   test("line dedup: corpus-wide duplicate chunks counted per document") {
     import spark.implicits._
     val shared = (1 to 8).map(i => s"dup$i").mkString(" ")
