@@ -91,6 +91,27 @@ object QualityFilters {
           col("ok_stop") === 1).cast("int"))
   }
 
+  /**
+   * The Gopher verdict as ONE boolean predicate column — the form a
+   * quality GATE wants (streaming filter, partition pruning, a WHERE that
+   * computes inside the scan projection) as opposed to gopherFlags'
+   * per-rule diagnostic columns. Identical rule set and integer
+   * arithmetic; pure codegen, usable in both batch and streaming plans.
+   */
+  def gopherKeep(text: Column, minWords: Int = 50,
+                 maxWords: Int = 100000): Column = {
+    val w = words(lower(text))
+    val nWords = size(w)
+    val nChars = aggregate(w, lit(0), (acc, x) => acc + length(x))
+    val nAlpha = size(filter(w, x => x.rlike("[a-z]")))
+    val nSym = size(filter(w, x => x.rlike("^(#|\\.\\.\\.)")))
+    val nStop = size(array_intersect(array_distinct(w),
+      array(StopWords.map(lit): _*)))
+    nWords >= minWords && nWords <= maxWords &&
+      nChars >= nWords * 3 && nChars <= nWords * 10 &&
+      nAlpha * 5 >= nWords * 4 && nSym * 10 <= nWords && nStop >= 2
+  }
+
   /** Deterministic "lines" of a single-line corpus: consecutive 8-word
     * chunks joined by one space (a SQL oracle expresses the same thing
     * with list_slice + generate_series). Real multi-line corpora would

@@ -47,6 +47,27 @@ object StreamingExtract {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), approx_count_distinct(col("user_id")).as("approx_users"))
 
+  /**
+   * Continuous quality-gated extraction: the streaming worker loop with a
+   * Gopher-style keep-gate on the extracted text. Rejected rows never
+   * reach the sink; per-trigger accept/reject counts surface through
+   * `observe` (StreamingQueryProgress.observedMetrics."quality_gate"),
+   * the streaming analog of the batch pipeline's lineage counters — a
+   * 100 TB ingest wants the reject rate on a dashboard, not in the sink.
+   */
+  def qualityGatedExtract(spark: SparkSession, pagesDir: String,
+                          minWords: Int = 50): DataFrame = {
+    val keep = graft.operators.QualityFilters
+      .gopherKeep(coalesce(col("extracted_text"), lit("")), minWords)
+    streamingExtract(spark, pagesDir)
+      .withColumn("keep", keep)
+      .observe("quality_gate",
+        count(lit(1)).as("total"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("rejected"))
+      .filter(col("keep"))
+      .drop("keep")
+  }
+
   final case class UrlSeen(url: String, first_ts: Long)
 
   /** Exactly-once-per-url gate: emits a url only the first time it is seen

@@ -36,6 +36,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(types.contains("html") && types.contains("pdf"))
   }
 
+  test("quality-gated streaming extraction: bad docs rejected, counts observed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream-gate").toString
+    // text payloads take the fallback path and extract verbatim, so the
+    // gate sees exactly these words
+    val good = ("the quick brown fox jumps over and over for fun " * 6).trim
+    val bad = "way too short for the gate"
+    Seq(
+      ("doc://good-1", new java.sql.Timestamp(0L), good.getBytes("UTF-8"), "t", "en"),
+      ("doc://good-2", new java.sql.Timestamp(0L), good.getBytes("UTF-8"), "t", "en"),
+      ("doc://bad-1", new java.sql.Timestamp(0L), bad.getBytes("UTF-8"), "t", "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+      .write.mode("overwrite").parquet(dir)
+
+    val q = StreamingExtract.qualityGatedExtract(spark, dir)
+      .writeStream.format("memory").queryName("gated")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt-gate").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val urls = spark.sql("SELECT url FROM gated").collect().map(_.getString(0)).toSet
+    assert(urls === Set("doc://good-1", "doc://good-2"))
+    // the reject count surfaced through observe() in the progress events
+    val metrics = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("quality_gate")))
+    val total = metrics.map(_.getAs[Long]("total")).sum
+    val rejected = metrics.map(_.getAs[Long]("rejected")).sum
+    assert(total === 3L && rejected === 1L, s"observed total=$total rejected=$rejected")
+  }
+
   test("watermarked event rollup over a bounded stream") {
     import spark.implicits._
     val dir = Files.createTempDirectory("stream-events").toString
