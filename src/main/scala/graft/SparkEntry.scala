@@ -173,6 +173,17 @@ object SparkEntry {
       docs.join(processed, Seq("doc_id"), "left_anti")
         .select("doc_id").orderBy("doc_id")
     }),
+    // ----- bloom-pruned EXACT resume anti-join (the 100 TB done-set
+    //       shape: key-only bloom probe -> exact semi verify -> fat side
+    //       anti-joins a small broadcastable key set). Row-identical to
+    //       the plain anti-join, proven by the same oracle form. -----
+    "q_resume_bloom" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val processed = docs.filter(col("doc_id") % 7 < 2).select("doc_id")
+      graft.operators.BloomResume.bloomAntiJoin(docs, processed, "doc_id",
+          expectedDone = 1000L)
+        .select("doc_id").orderBy("doc_id")
+    }),
     // ----- §4.3 salt distribution (Knuth multiplicative hash, engine-neutral) -----
     "q_salt_distribution" -> ((s, dir) => {
       tbl(s, dir, "documents")
@@ -613,6 +624,9 @@ object SparkEntry {
       "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type, count(*) AS n FROM events GROUP BY 1, 2 ORDER BY hour, event_type",
     "q_resume_antijoin" ->
       "SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 10 < 3) ORDER BY doc_id",
+    // the bloom-pruned variant must be row-identical to a plain anti-join
+    "q_resume_bloom" ->
+      "SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 7 < 2) ORDER BY doc_id",
     "q_salt_distribution" ->
       "SELECT (doc_id * 2654435761) % 4294967296 % 64 AS salt, count(*) AS n FROM documents GROUP BY 1 ORDER BY salt",
     "q_tpch_q1" ->

@@ -163,6 +163,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"an exchange still keys on the raw line text:\n$plan")
   }
 
+  test("bloom resume plan: codegen might_contain probe + key-only scan branch") {
+    val plan = planOf(SparkEntry.queries("q_resume_bloom")(spark, sf))
+    assert(plan.contains("might_contain"), s"bloom probe missing:\n$plan")
+    // the candidate branch must scan ONLY the key column — the fat text
+    // columns are read once, on the final anti-join branch
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toList
+    assert(readSchemas.exists(rs => rs.contains("doc_id") && !rs.contains("text")),
+      s"no key-only scan branch:\n${readSchemas.mkString("\n")}")
+  }
+
   test("aggregates use partial (map-side) aggregation") {
     val plan = planOf(SparkEntry.queries("q_lang_stats")(spark, sf))
     // two HashAggregate nodes: partial + final

@@ -354,6 +354,31 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom anti-join: row-identical to plain left_anti, any filter size") {
+    import spark.implicits._
+    // pages with DUPLICATE keys (multiplicity must survive) + a done set
+    val pages = ((0L until 400L) ++ (0L until 400L by 5)).map(i => (i, s"body-$i"))
+      .toDF("doc_id", "body")
+    val done = (0L until 400L by 3).toDF("doc_id")
+    val expected = pages.join(done, Seq("doc_id"), "left_anti")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    // well-sized filter
+    val got = BloomResume.bloomAntiJoin(pages, done, "doc_id", expectedDone = 200L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got === expected)
+    // absurdly undersized filter (64 bits for 134 keys -> ~everything is a
+    // false positive): result must STILL be exact, only the pruning degrades
+    val tiny = BloomResume.bloomAntiJoin(pages, done, "doc_id",
+      expectedDone = 200L, numBits = 64L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(tiny === expected)
+    // the membership probe really fires: a fresh bloom over done admits
+    // every done key (no false negatives, the exactness precondition)
+    val bloom = BloomResume.buildBloom(done, "doc_id", 200L)
+    val admitted = done.filter(BloomResume.mightContain(bloom, col("doc_id"))).count()
+    assert(admitted === done.count())
+  }
+
   test("PNG decode: IHDR geometry, real IDAT inflate, corruption, fuzz") {
     // 7x5 RGB: rowBytes = 21, scanlines = 5 * (1 + 21) = 110
     val png = Multimodal.encodePng(7, 5, 2, "pngcontent".getBytes)
