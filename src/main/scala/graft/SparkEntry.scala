@@ -184,6 +184,34 @@ object SparkEntry {
           expectedDone = 1000L)
         .select("doc_id").orderBy("doc_id")
     }),
+    // ----- URL canonicalization (crawl dedup/join keys): messy urls are
+    //       derived from doc_id arithmetic (mixed-case scheme/host,
+    //       default/odd ports, unsorted params, empty queries, fragments)
+    //       and canonicalized by the codegen rule set; the oracle mirrors
+    //       both the derivation and every rule function-for-function. -----
+    "q_url_canon" -> ((s, dir) => {
+      val d = col("doc_id")
+      val ds = d.cast("string")
+      val scheme = when(pmod(d, lit(3)) === 0, lit("http"))
+        .when(pmod(d, lit(3)) === 1, lit("HTTPS")).otherwise(lit("HtTp"))
+      val host = when(pmod(d, lit(2)) === 0, lit("WWW.Example.COM"))
+        .otherwise(lit("cdn.Site.org"))
+      val port = when(pmod(d, lit(4)) === 0, lit(":80"))
+        .when(pmod(d, lit(4)) === 1, lit(":443"))
+        .when(pmod(d, lit(4)) === 2, lit(":8080")).otherwise(lit(""))
+      val path = when(pmod(d, lit(5)) === 0, lit(""))
+        .otherwise(concat(lit("/p/"), ds))
+      val query = when(pmod(d, lit(3)) === 0,
+          concat(lit("?z=1&a="), pmod(d, lit(7)).cast("string")))
+        .when(pmod(d, lit(3)) === 1, lit("?")).otherwise(lit(""))
+      val frag = when(pmod(d, lit(2)) === 1,
+        concat(lit("#sec"), pmod(d, lit(5)).cast("string"))).otherwise(lit(""))
+      val raw = concat(scheme, lit("://"), host, port, path, query, frag)
+      tbl(s, dir, "documents")
+        .select(d.as("doc_id"), raw.as("url_raw"),
+          graft.functions.UrlFunctions.canonicalizeUrl(raw).as("url_canon"))
+        .orderBy("doc_id")
+    }),
     // ----- §4.3 salt distribution (Knuth multiplicative hash, engine-neutral) -----
     "q_salt_distribution" -> ((s, dir) => {
       tbl(s, dir, "documents")
@@ -627,6 +655,33 @@ object SparkEntry {
     // the bloom-pruned variant must be row-identical to a plain anti-join
     "q_resume_bloom" ->
       "SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 7 < 2) ORDER BY doc_id",
+    // url derivation + every canonicalization rule mirrored function-for-
+    // function (regexp_extract groups, first-match regexp_replace,
+    // split/sort/join over '&', CASE order identical)
+    "q_url_canon" ->
+      ("""WITH u AS (SELECT doc_id, """ +
+      """(CASE doc_id % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTPS' ELSE 'HtTp' END) || '://' || """ +
+      """(CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example.COM' ELSE 'cdn.Site.org' END) || """ +
+      """(CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END) || """ +
+      """(CASE WHEN doc_id % 5 = 0 THEN '' ELSE '/p/' || doc_id END) || """ +
+      """(CASE doc_id % 3 WHEN 0 THEN '?z=1&a=' || (doc_id % 7) WHEN 1 THEN '?' ELSE '' END) || """ +
+      """(CASE WHEN doc_id % 2 = 1 THEN '#sec' || (doc_id % 5) ELSE '' END) AS url_raw FROM documents), """ +
+      """p AS (SELECT doc_id, url_raw, """ +
+      """lower(regexp_extract(url_raw, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$', 1)) AS scheme, """ +
+      """lower(regexp_extract(url_raw, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$', 2)) AS auth, """ +
+      """regexp_extract(url_raw, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$', 3) AS rest FROM u), """ +
+      """q AS (SELECT doc_id, url_raw, scheme, """ +
+      """CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '') WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '') ELSE auth END AS host, """ +
+      """regexp_replace(rest, '#.*$', '') AS nofrag FROM p), """ +
+      """r AS (SELECT doc_id, url_raw, scheme, host, """ +
+      """regexp_replace(nofrag, '\?.*$', '') AS path, """ +
+      """regexp_extract(nofrag, '\?(.*)$', 1) AS query FROM q) """ +
+      """SELECT doc_id, url_raw, """ +
+      """CASE WHEN scheme = '' THEN url_raw ELSE scheme || '://' || host || """ +
+      """(CASE WHEN path = '' THEN '/' ELSE path END) || """ +
+      """(CASE WHEN array_to_string(list_sort(str_split(query, '&')), '&') = '' THEN '' """ +
+      """ELSE '?' || array_to_string(list_sort(str_split(query, '&')), '&') END) END AS url_canon """ +
+      """FROM r ORDER BY doc_id"""),
     "q_salt_distribution" ->
       "SELECT (doc_id * 2654435761) % 4294967296 % 64 AS salt, count(*) AS n FROM documents GROUP BY 1 ORDER BY salt",
     "q_tpch_q1" ->
