@@ -89,15 +89,28 @@ object ScalingHunt {
               if (round.uHi < hi * 0.6) {
                 if (hi == 32) starved832 += 1 else if (hi == 8) starved28 += 1
               } else if (hi == 32) starved832 = 0 else if (hi == 8) starved28 = 0
+              // archive every VALID round — the distribution is evidence,
+              // not just the single best
+              if (round.valid) {
+                val w = new java.io.FileWriter("fixtures/scaling_rounds_valid.jsonl", true)
+                try w.write(s"""{"t_ms":${System.currentTimeMillis()},"round":${round.json}}""" + "\n")
+                finally w.close()
+              }
               if (round.quiet && round.eff >= minEff) {
                 freeze("fixtures/scaling_record.json", round)
                 found = true
-              } else if (round.valid && round.eff >= minEff && round.eff > bestSustained) {
-                // second tier: a VALID round clearing the raw 0.8 bar
-                // under flat-but-throttled conditions — frozen
-                // separately, hunt continues for the strict-quiet one
-                bestSustained = round.eff
-                freeze("fixtures/scaling_record_sustained.json", round)
+              } else {
+                // second tier: a VALID round clearing the raw 0.8 bar under
+                // flat-but-throttled conditions. Scored by CLOSENESS TO 1.0
+                // (1 - |1 - eff|), not by raw eff: a superlinear reading
+                // (eff > 1) means the narrow child was extra-starved and is
+                // WEAKER evidence than an eff just below 1, so it must not
+                // displace one.
+                val score = 1.0 - math.abs(1.0 - round.eff)
+                if (round.valid && round.eff >= minEff && score > bestSustained) {
+                  bestSustained = score
+                  freeze("fixtures/scaling_record_sustained.json", round)
+                }
               }
             case None => append(s"""{"round_error":"child_failed","t_ms":${System.currentTimeMillis()}}""")
           }
