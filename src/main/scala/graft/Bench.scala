@@ -465,7 +465,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + extracted / inlineBest
     val passesJson = passes.map(p => p._1.round).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs_per_sec":$docsPerSec,"extract_docs_per_sec_passes":$passesJson,"extract_rows":$extracted,"cpus":$cpus,"canary_sec_before":${"%.4f".format(canaryBefore)},"canary_sec_after":${"%.4f".format(canaryAfter)},"canary_quiet_ref":0.04,"canary32_sec_before":${"%.4f".format(canaryParBefore)},"canary32_sec_after":${"%.4f".format(canaryParAfter)},"canary32_quiet_ref":0.01$scalingJson$frozenTopLevel}""")
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs_per_sec":$docsPerSec,"extract_docs_per_sec_passes":$passesJson,"extract_rows":$extracted,"cpus":$cpus,"canary_sec_before":${"%.4f".format(canaryBefore)},"canary_sec_after":${"%.4f".format(canaryAfter)},"canary_quiet_ref":0.04,"canary32_sec_before":${"%.4f".format(canaryParBefore)},"canary32_sec_after":${"%.4f".format(canaryParAfter)},"canary32_quiet_ref":0.01$scalingJson$frozenTopLevel}"""
+    println(jsonLine)
+    // the stdout capture of a long run can truncate mid-JSON (observed in
+    // a prior round's artifact of record); a file copy under the repo
+    // keeps the record self-contained
+    try {
+      val w = new java.io.FileWriter("BENCH_LOCAL.json")
+      try w.write(jsonLine + "\n") finally w.close()
+    } catch { case _: Throwable => }
   }
 }
 
