@@ -64,7 +64,7 @@ object ScalingHunt {
       else {
         val src = scala.io.Source.fromFile(f, "UTF-8")
         val txt = try src.mkString finally src.close()
-        """"eff":([0-9.]+)""".r.findFirstMatchIn(txt)
+        """"eff":\s*([0-9.]+)""".r.findFirstMatchIn(txt)
           .map(m => 1.0 - math.abs(1.0 - m.group(1).toDouble)).getOrElse(0.0)
       }
     }
