@@ -377,6 +377,10 @@ class OperatorsSpec extends AnyFunSuite {
     val bloom = BloomResume.buildBloom(done, "doc_id", 200L)
     val admitted = done.filter(BloomResume.mightContain(bloom, col("doc_id"))).count()
     assert(admitted === done.count())
+    // EMPTY done-set (first pipeline run): everything is new, still exact
+    val emptyDone = spark.range(0).toDF("doc_id")
+    val freshRun = BloomResume.bloomAntiJoin(pages, emptyDone, "doc_id", 10L)
+    assert(freshRun.count() === pages.count())
   }
 
   test("PNG decode: IHDR geometry, real IDAT inflate, corruption, fuzz") {
