@@ -82,6 +82,25 @@ class WarcSpec extends AnyFunSuite {
     assert(new String(got(3)._2, "UTF-8") === "magic sniffed")
   }
 
+  test("whole-file gzip (one member spanning all records) also reads") {
+    // some tools gzip the entire warc as a single member instead of
+    // per-record members; the chain decoder must not care
+    val dir = tmpDir()
+    val plain = new java.io.File(dir, "plain.tmp")
+    WarcFixtures.writeWarc(plain, Seq(
+      ("http://w/1", "2026-01-01T00:00:01Z", "first body".getBytes("UTF-8")),
+      ("http://w/2", "2026-01-01T00:00:02Z", ("z" * 100000).getBytes("UTF-8"))))
+    val bytes = java.nio.file.Files.readAllBytes(plain.toPath)
+    plain.delete()
+    val dir2 = tmpDir()
+    val out = new java.io.FileOutputStream(new java.io.File(dir2, "whole.warc.gz"))
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(bytes); gz.close()
+    val got = readWarc(dir2.getAbsolutePath).collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](2).length)).sortBy(_._1)
+    assert(got.toSeq === Seq(("http://w/1", 10), ("http://w/2", 100000)))
+  }
+
   test("truncated gz tail yields the complete prior records, never throws") {
     val dir = tmpDir()
     val whole = new java.io.File(dir, "w.warc.gz")
