@@ -41,11 +41,15 @@ object UrlFunctions {
     val authority = regexp_extract(url, SchemeHostPort, 2)
     val rest = regexp_extract(url, SchemeHostPort, 3)
 
-    // authority: lowercase, then strip the scheme's default port
-    val hostLower = lower(authority)
-    val host = when(scheme === "http", regexp_replace(hostLower, ":80$", ""))
+    // authority: userinfo (before the last '@') is case-SENSITIVE per
+    // RFC 3986 and preserved; host[:port] lowercases, then the scheme's
+    // default port strips
+    val userinfo = regexp_extract(authority, "^(.*@)", 1)
+    val hostLower = lower(regexp_replace(authority, "^.*@", ""))
+    val hostPort = when(scheme === "http", regexp_replace(hostLower, ":80$", ""))
       .when(scheme === "https", regexp_replace(hostLower, ":443$", ""))
       .otherwise(hostLower)
+    val host = concat(userinfo, hostPort)
 
     // rest = [/path...][?query][#fragment] -> drop fragment
     val noFrag = regexp_replace(rest, "#.*$", "")

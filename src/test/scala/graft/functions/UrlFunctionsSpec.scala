@@ -34,6 +34,8 @@ class UrlFunctionsSpec extends AnyFunSuite {
     assert(canon("http://a.b/x?") === Seq("http://a.b/x"))
     // query survives with fragment stripped after it
     assert(canon("http://a.b/x?b=2&a=1#sec") === Seq("http://a.b/x?a=1&b=2"))
+    // userinfo is case-sensitive (RFC 3986) and preserved; host still folds
+    assert(canon("http://User:Pw@Host.Com:80/x") === Seq("http://User:Pw@host.com/x"))
     // non-authority strings pass through untouched
     assert(canon("not a url", "mailto:x@y.z") === Seq("not a url", "mailto:x@y.z"))
   }
