@@ -45,6 +45,19 @@ object ScalingHunt {
       println(line)
     }
 
+    // score of the round currently in a freeze file (0.0 if none): re-read
+    // at every freeze so interleaved hunt processes can only improve it
+    def fileScore(file: String): Double = {
+      val f = new java.io.File(file)
+      if (!f.isFile) 0.0
+      else {
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        val txt = try src.mkString finally src.close()
+        """"eff":\s*([0-9.]+)""".r.findFirstMatchIn(txt)
+          .map(m => 1.0 - math.abs(1.0 - m.group(1).toDouble)).getOrElse(0.0)
+      }
+    }
+
     def freeze(file: String, round: Bench.Round): Unit = {
       val rec = s"""{"captured_at_ms":${System.currentTimeMillis()},"captured_by":"graft.ScalingHunt standing loop (otherwise idle host)","protocol":"identical to the in-bench scaling rounds: pinned -XX:ActiveProcessorCount children, single-thread canary brackets, sustained 1-thread rate anchors, child-self-measured CPU consumption gates","rows":$rows,"round":${round.json}}"""
       val f = new java.io.File(file)
@@ -118,7 +131,8 @@ object ScalingHunt {
                 // WEAKER evidence than an eff just below 1, so it must not
                 // displace one.
                 val score = 1.0 - math.abs(1.0 - round.eff)
-                if (round.valid && round.eff >= minEff && score > bestSustained) {
+                if (round.valid && round.eff >= minEff && score > bestSustained &&
+                    score > fileScore("fixtures/scaling_record_sustained.json")) {
                   bestSustained = score
                   freeze("fixtures/scaling_record_sustained.json", round)
                 }
