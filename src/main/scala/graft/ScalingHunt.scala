@@ -58,12 +58,34 @@ object ScalingHunt {
       }
     }
 
-    def freeze(file: String, round: Bench.Round): Unit = {
-      val rec = s"""{"captured_at_ms":${System.currentTimeMillis()},"captured_by":"graft.ScalingHunt standing loop (otherwise idle host)","protocol":"identical to the in-bench scaling rounds: pinned -XX:ActiveProcessorCount children, single-thread canary brackets, sustained 1-thread rate anchors, child-self-measured CPU consumption gates","rows":$rows,"round":${round.json}}"""
-      val f = new java.io.File(file)
-      val w = new java.io.FileWriter(f)
-      try w.write(rec + "\n") finally w.close()
-      append(s"""{"frozen":"${f.getAbsolutePath}","eff":${"%.3f".format(round.eff)},"quiet":${round.quiet}}""")
+    /** Freeze `round` into `file` iff its closeness-to-1.0 score still beats
+      * the file's AT WRITE TIME, re-checked under an exclusive FileLock with
+      * a temp-write + atomic rename — concurrently running hunts can only
+      * improve the frozen record, never clobber a better capture (the
+      * non-atomic check-then-write race bit once in commit 9c8fcc3).
+      * Returns true if the freeze landed. */
+    def freeze(file: String, round: Bench.Round): Boolean = {
+      val f = new java.io.File(file).getAbsoluteFile
+      val lockPath = new java.io.File(f.getParentFile, f.getName + ".lock").toPath
+      val lch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lk = lch.lock()
+        try {
+          val score = 1.0 - math.abs(1.0 - round.eff)
+          if (score <= fileScore(file)) return false
+          val rec = s"""{"captured_at_ms":${System.currentTimeMillis()},"captured_by":"graft.ScalingHunt standing loop (otherwise idle host)","protocol":"identical to the in-bench scaling rounds: pinned -XX:ActiveProcessorCount children, single-thread canary brackets, sustained 1-thread rate anchors, child-self-measured CPU consumption gates","rows":$rows,"round":${round.json}}"""
+          val tmp = new java.io.File(f.getParentFile,
+            f.getName + ".tmp." + ProcessHandle.current().pid())
+          val w = new java.io.FileWriter(tmp)
+          try w.write(rec + "\n") finally w.close()
+          java.nio.file.Files.move(tmp.toPath, f.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          append(s"""{"frozen":"${f.getAbsolutePath}","eff":${"%.3f".format(round.eff)},"quiet":${round.quiet}}""")
+          true
+        } finally lk.release()
+      } finally lch.close()
     }
 
     val deadline = System.currentTimeMillis() + maxMinutes * 60000L
@@ -132,9 +154,8 @@ object ScalingHunt {
                 // displace one.
                 val score = 1.0 - math.abs(1.0 - round.eff)
                 if (round.valid && round.eff >= minEff && score > bestSustained &&
-                    score > fileScore("fixtures/scaling_record_sustained.json")) {
+                    freeze("fixtures/scaling_record_sustained.json", round)) {
                   bestSustained = score
-                  freeze("fixtures/scaling_record_sustained.json", round)
                 }
               }
             case None => append(s"""{"round_error":"child_failed","t_ms":${System.currentTimeMillis()}}""")

@@ -345,6 +345,10 @@ object SparkEntry {
       graft.operators.QualityFilters.lineShapeFlags(docs, "mtext")
         .orderBy("doc_id")
     }),
+    // ----- Gopher §A.1.1 repetition rules (within-document, codegen) -----
+    "q_gopher_rep" -> ((s, dir) =>
+      graft.operators.QualityFilters.gopherRepetitionFlags(tbl(s, dir, "documents"))
+        .orderBy("doc_id")),
     // ----- MinHash near-dup detection (planted dups; LSH band join) -----
     "q_minhash_pairs" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -507,20 +511,30 @@ object SparkEntry {
     //       recomputing geometry in SQL proves the whole chain. Every 5th
     //       doc is a corrupt blob exercising the invalid path. -----
     "q_png_features" -> ((s, dir) => {
-      implicit val sp: SparkSession = s
       import s.implicits._
-      val media = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      // row0_sum is the DEFILTERED first scanline's byte sum: the corpus
+      // spans all five RFC 2083 filters (pngFromDoc), and the oracle
+      // recomputes the sum from the original cycled text bytes — parity
+      // proves the decoder's defilter reconstructs the pixels exactly.
+      tbl(s, dir, "documents").select(col("doc_id"), col("text"))
         .as[(Long, String)]
-        .mapPartitions(_.map { case (id, t) => graft.operators.Multimodal.pngFromDoc(id, t) })
-        .toDF("media_id", "bytes")
-      graft.operators.Multimodal.extractFeatures(media)
-        .select(col("media_id"),
-          col("meta.media_type").as("media_type"),
-          col("meta.width").cast("long").as("width"),
-          col("meta.height").cast("long").as("height"),
-          col("meta.channels").cast("long").as("channels"),
-          col("meta.payload_bytes").as("payload_bytes"),
-          col("meta.valid").cast("long").as("valid"))
+        .mapPartitions(_.map { case (id, t) =>
+          val (mid, blob) = graft.operators.Multimodal.pngFromDoc(id, t)
+          val (meta, px) = graft.operators.Multimodal.decodePngPixels(blob)
+          val row0 =
+            if (px == null || meta.height <= 0) -1L
+            else {
+              val rb = px.length / meta.height
+              var s0 = 0L; var i = 0
+              while (i < rb) { s0 += px(i) & 0xFF; i += 1 }
+              s0
+            }
+          (mid, meta.media_type, meta.width.toLong, meta.height.toLong,
+            meta.channels.toLong, meta.payload_bytes,
+            if (meta.valid) 1L else 0L, row0)
+        })
+        .toDF("media_id", "media_type", "width", "height", "channels",
+          "payload_bytes", "valid", "row0_sum")
         .orderBy("media_id")
     }),
     // ----- flagship extraction over deterministic synthesized pages -----
@@ -615,6 +629,60 @@ object SparkEntry {
     embedNearDupOracleFor("(SELECT * FROM embeddings ORDER BY vec_id LIMIT 2000)", "vec_id % 100 = 0")
   private lazy val embedNearDupOracleLsh: String =
     embedNearDupOracleFor("embeddings WHERE vec_id % 4 = 0", "vec_id % 100 = 0")
+
+  /** DuckDB mirror of QualityFilters.gopherRepetitionFlags: same 8-word
+    * chunk lines, same n-gram derivations, same tie-breaks, same integer
+    * cross-multiplied bars — built per-n so both engines share structure. */
+  private def gopherRepOracle: String = {
+    def ng(n: Int) =
+      s"CASE WHEN len(w) >= $n THEN list_transform(generate_series(1, len(w) - ${n - 1}), " +
+      s"i -> array_to_string(list_slice(w, i, i + ${n - 1}), ' ')) ELSE []::VARCHAR[] END AS ng$n"
+    def maxCnt(n: Int) =
+      s"list_max(list_transform(list_distinct(ng$n), d -> len(list_filter(ng$n, y -> y = d)))) AS mc$n"
+    def dupStarts(n: Int) =
+      s"list_filter(generate_series(1, len(w) - ${n - 1}), " +
+      s"i -> len(list_filter(ng$n, y -> y = ng$n[i])) > 1) AS ds$n"
+    def topChars(n: Int) =
+      s"coalesce(CAST(mc$n * list_max(list_transform(list_filter(list_distinct(ng$n), " +
+      s"d -> len(list_filter(ng$n, y -> y = d)) = mc$n), d -> length(d) - ${n - 1})) AS INTEGER), 0) AS top${n}_chars"
+    def dupChars(n: Int) =
+      s"CASE WHEN len(w) >= $n THEN coalesce(CAST(list_sum(list_transform(generate_series(1, len(w)), " +
+      s"j -> CASE WHEN len(list_filter(ds$n, i -> i <= j AND j <= i + ${n - 1})) > 0 " +
+      s"THEN length(w[j]) ELSE 0 END)) AS INTEGER), 0) ELSE 0 END AS dup${n}_chars"
+    def okPct(flag: String, x: String, pct: Int, denom: String) =
+      s"CASE WHEN $x * 100 <= $denom * $pct THEN 1 ELSE 0 END AS $flag"
+    val dupBars = Seq(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+    val oks =
+      Seq(okPct("ok_dup_line", "n_dup_lines", 30, "n_lines"),
+        okPct("ok_dup_line_char", "n_dup_line_chars", 20, "n_line_chars"),
+        okPct("ok_top2", "top2_chars", 20, "n_word_chars"),
+        okPct("ok_top3", "top3_chars", 18, "n_word_chars"),
+        okPct("ok_top4", "top4_chars", 16, "n_word_chars")) ++
+      dupBars.map { case (n, pct) =>
+        okPct(s"ok_dup$n", s"dup${n}_chars", pct, "n_word_chars") }
+    val keepCond =
+      (Seq("n_dup_lines * 100 <= n_lines * 30",
+        "n_dup_line_chars * 100 <= n_line_chars * 20",
+        "top2_chars * 100 <= n_word_chars * 20",
+        "top3_chars * 100 <= n_word_chars * 18",
+        "top4_chars * 100 <= n_word_chars * 16") ++
+        dupBars.map { case (n, pct) => s"dup${n}_chars * 100 <= n_word_chars * $pct" })
+        .mkString(" AND ")
+    s"""WITH w0 AS (SELECT doc_id, regexp_extract_all(text, '$NonWs+') AS w FROM documents), """ +
+    "b AS (SELECT doc_id, w, list_transform(generate_series(0, (len(w) + 7) // 8 - 1), " +
+    "i -> array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' ')) AS lines FROM w0), " +
+    s"g AS (SELECT *, ${(2 to 10).map(ng).mkString(", ")} FROM b), " +
+    s"m AS (SELECT *, ${(2 to 4).map(maxCnt).mkString(", ")}, ${(5 to 10).map(dupStarts).mkString(", ")} FROM g), " +
+    "c AS (SELECT doc_id, CAST(len(lines) AS INTEGER) AS n_lines, " +
+    "CAST(len(lines) - len(list_distinct(lines)) AS INTEGER) AS n_dup_lines, " +
+    "coalesce(CAST(list_sum(list_transform(lines, l -> length(l))) AS INTEGER), 0) AS n_line_chars, " +
+    "coalesce(CAST(list_sum(list_transform(list_distinct(lines), d -> " +
+    "CASE WHEN len(list_filter(lines, y -> y = d)) > 1 THEN len(list_filter(lines, y -> y = d)) * length(d) ELSE 0 END)) AS INTEGER), 0) AS n_dup_line_chars, " +
+    "coalesce(CAST(list_sum(list_transform(w, x -> length(x))) AS INTEGER), 0) AS n_word_chars, " +
+    s"${(2 to 4).map(topChars).mkString(", ")}, ${(5 to 10).map(dupChars).mkString(", ")} FROM m) " +
+    s"SELECT *, ${oks.mkString(", ")}, CASE WHEN $keepCond THEN 1 ELSE 0 END AS keep " +
+    "FROM c ORDER BY doc_id"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_dedup_keepers" ->
@@ -733,7 +801,13 @@ object SparkEntry {
       """CASE WHEN doc_id % 5 = 4 THEN 0 WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS channels, """ +
       """CASE WHEN doc_id % 5 = 4 THEN octet_length(encode(text)) """ +
       """ELSE (4 + (doc_id * 17) % 48) * (1 + (4 + (doc_id * 13) % 48) * (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END)) END AS payload_bytes, """ +
-      """CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 1 END AS valid """ +
+      """CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 1 END AS valid, """ +
+      // defiltered first scanline = the first rowBytes ORIGINAL pixels,
+      // which the encoder cycles from the doc text — independent of which
+      // of the five filters the encoder applied (ASCII text: byte = char)
+      """CASE WHEN doc_id % 5 = 4 THEN -1 """ +
+      """ELSE CAST(list_sum(list_transform(generate_series(0, (4 + (doc_id * 13) % 48) * (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END) - 1), """ +
+      """x -> ascii(substring(text, CAST(x % length(text) AS INTEGER) + 1, 1)))) AS BIGINT) END AS row0_sum """ +
       """FROM documents ORDER BY media_id"""),
     // NOTE: this oracle returns `text` verbatim while the kernel applies
     // text-mode universal-newline translation (CRLF/CR -> LF) and blank ->
@@ -794,6 +868,8 @@ object SparkEntry {
       """CASE WHEN len(list_filter(ls, x -> starts_with(x, '- ') OR starts_with(x, '* '))) * 10 <= len(ls) * 9 """ +
       """AND len(list_filter(ls, x -> ends_with(x, '...'))) * 10 <= len(ls) * 3 THEN 1 ELSE 0 END AS keep """ +
       """FROM l ORDER BY doc_id"""),
+    // §A.1.1 repetition family — mirror built per-n by gopherRepOracle.
+    "q_gopher_rep" -> gopherRepOracle,
     // The gz+HTTP chain (gzip member writer -> inflate reader -> CRLFCRLF
     // split) must surface exactly the document's UTF-8 bytes as the body.
     "q_warc_http" ->

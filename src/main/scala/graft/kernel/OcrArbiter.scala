@@ -29,7 +29,7 @@ object OcrArbiter {
     ".pages", ".numbers", ".key")
 
   def needsOcrCheck(originalExtension: String): Boolean =
-    !GeneratedPdfSources.contains(originalExtension.toLowerCase)
+    !GeneratedPdfSources.contains(originalExtension.toLowerCase(java.util.Locale.ROOT))
 
   /** src/ocr_client.py:107-142, byte-exact decision order. Lengths are code
     * points of the Python-stripped strings. */
@@ -145,7 +145,7 @@ object QualityScore {
 
   /** Python `text.lower().split()` — lowercase, split on pyIsSpace runs. */
   def pySplitLower(text: String): Seq[String] = {
-    val lowered = text.toLowerCase
+    val lowered = text.toLowerCase(java.util.Locale.ROOT)
     val out = Seq.newBuilder[String]
     val sb = new java.lang.StringBuilder
     var i = 0
@@ -178,7 +178,7 @@ object QualityScore {
     // all-alpha check, wordlist hit ratio.
     var checkable = 0
     var recognized = 0
-    val lowered = text.toLowerCase
+    val lowered = text.toLowerCase(java.util.Locale.ROOT)
     val n = lowered.length
     var i = 0
     while (i < n) {

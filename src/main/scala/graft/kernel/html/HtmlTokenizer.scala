@@ -134,7 +134,7 @@ object HtmlTokenizer {
           var j = i + 2
           while (j < n && html.charAt(j) != '>') j += 1
           val raw = html.substring(i + 2, math.min(j, n))
-          val name = raw.takeWhile(ch => !Character.isWhitespace(ch)).toLowerCase
+          val name = raw.takeWhile(ch => !Character.isWhitespace(ch)).toLowerCase(java.util.Locale.ROOT)
           sink.endTag(name)
           i = if (j < n) j + 1 else n
           textStart = i
@@ -144,7 +144,7 @@ object HtmlTokenizer {
           var j = i + 1
           while (j < n && (isAsciiLetter(html.charAt(j)) || Character.isDigit(html.charAt(j)) ||
             html.charAt(j) == '-' || html.charAt(j) == ':')) j += 1
-          val name = html.substring(i + 1, j).toLowerCase
+          val name = html.substring(i + 1, j).toLowerCase(java.util.Locale.ROOT)
           // attributes: parse name[=value] pairs to '>', honoring quoted
           // values (may contain '>'); only class/id values are captured
           var selfClosing = false

@@ -350,6 +350,49 @@ object Multimodal {
     case _ => -1
   }
 
+  /** RFC 2083 §6.6 Paeth predictor. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Reverse the per-scanline filters (RFC 2083 §6: None/Sub/Up/Average/
+    * Paeth) over the inflated stream `raw` (each row: 1 filter byte +
+    * rowBytes data). Returns the reconstructed pixel bytes, or null on a
+    * filter byte outside 0..4 (corrupt stream). Pure byte arithmetic,
+    * from the public spec. */
+  private def defilterPng(raw: Array[Byte], height: Int, rowBytes: Int,
+                          bpp: Int): Array[Byte] = {
+    val out = new Array[Byte](height * rowBytes)
+    var y = 0
+    while (y < height) {
+      val ft = raw(y * (1 + rowBytes)) & 0xFF
+      if (ft > 4) return null
+      val ro = y * (1 + rowBytes) + 1
+      val oo = y * rowBytes
+      var x = 0
+      while (x < rowBytes) {
+        val f = raw(ro + x) & 0xFF
+        val a = if (x >= bpp) out(oo + x - bpp) & 0xFF else 0
+        val b = if (y > 0) out(oo - rowBytes + x) & 0xFF else 0
+        val v = ft match {
+          case 0 => f
+          case 1 => f + a
+          case 2 => f + b
+          case 3 => f + ((a + b) >> 1)
+          case _ =>
+            val c = if (x >= bpp && y > 0) out(oo - rowBytes + x - bpp) & 0xFF else 0
+            f + paeth(a, b, c)
+        }
+        out(oo + x) = (v & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** PNG (RFC 2083 / ISO 15948), non-interlaced: geometry and channel
     * count from IHDR; the concatenated IDAT zlib stream is ACTUALLY
     * inflated (PdfParser.inflate — direct-buffer, GCLocker-safe) and the
@@ -360,13 +403,34 @@ object Multimodal {
     * verified (zlib's own adler32 covers the pixel data; the byte[] CRC32
     * API would pin arrays). Adam7-interlaced images report invalid
     * (pass-size math out of scope; rare in the wild). */
-  def decodePng(bytes: Array[Byte]): MediaMeta = {
+  def decodePng(bytes: Array[Byte]): MediaMeta = decodePngPixels(bytes)._1
+
+  /** First defiltered scanline's byte sum — the pixel-derived stat an
+    * external oracle recomputes from the original (pre-filter) pixels,
+    * proving the defilter actually reconstructs them. -1 when invalid. */
+  def pngRow0Sum(bytes: Array[Byte]): Long = {
+    val (meta, px) = decodePngPixels(bytes)
+    if (px == null || meta.height <= 0) -1L
+    else {
+      val rowBytes = px.length / meta.height
+      var s = 0L
+      var i = 0
+      while (i < rowBytes) { s += px(i) & 0xFF; i += 1 }
+      s
+    }
+  }
+
+  /** decodePng plus the fully DEFILTERED pixel bytes (scanlines
+    * concatenated, filter bytes removed); pixels are null — and the meta
+    * invalid — when the stream is corrupt, lying, or uses a filter byte
+    * outside 0..4. */
+  def decodePngPixels(bytes: Array[Byte]): (MediaMeta, Array[Byte]) = {
     if (bytes == null || bytes.length < 8 + 25 ||
         !(0 until 8).forall(i => (bytes(i) & 0xFF) == PngSig(i)))
-      return invalid.copy(payload_bytes = if (bytes == null) 0 else bytes.length)
+      return (invalid.copy(payload_bytes = if (bytes == null) 0 else bytes.length), null)
     // first chunk must be IHDR, length 13
     if (u32be(bytes, 8) != 13L || !(0 until 4).forall(i => bytes(12 + i) == "IHDR".charAt(i).toByte))
-      return invalid.copy(payload_bytes = bytes.length)
+      return (invalid.copy(payload_bytes = bytes.length), null)
     val width = u32be(bytes, 16)
     val height = u32be(bytes, 20)
     val bitDepth = bytes(24) & 0xFF
@@ -378,7 +442,7 @@ object Multimodal {
     if (width <= 0 || height <= 0 || width > Int.MaxValue || height > Int.MaxValue ||
         channels < 0 || compression != 0 || filter != 0 || interlace != 0 ||
         !Set(1, 2, 4, 8, 16).contains(bitDepth))
-      return invalid.copy(payload_bytes = bytes.length)
+      return (invalid.copy(payload_bytes = bytes.length), null)
     // walk chunks, concatenating IDAT data until IEND
     val idat = new java.io.ByteArrayOutputStream(1 << 12)
     var off = 8 + 12 + 13 // past IHDR
@@ -386,20 +450,25 @@ object Multimodal {
     while (!sawEnd && off + 8 <= bytes.length) {
       val len = u32be(bytes, off)
       if (len < 0 || len > Int.MaxValue || off + 12 + len > bytes.length)
-        return invalid.copy(payload_bytes = bytes.length) // truncated chunk
+        return (invalid.copy(payload_bytes = bytes.length), null) // truncated chunk
       val isIdat = (0 until 4).forall(i => bytes(off + 4 + i) == "IDAT".charAt(i).toByte)
       val isIend = (0 until 4).forall(i => bytes(off + 4 + i) == "IEND".charAt(i).toByte)
       if (isIdat) idat.write(bytes, off + 8, len.toInt)
       if (isIend) sawEnd = true
       off += 12 + len.toInt
     }
-    if (!sawEnd || idat.size() == 0) return invalid.copy(payload_bytes = bytes.length)
+    if (!sawEnd || idat.size() == 0)
+      return (invalid.copy(payload_bytes = bytes.length), null)
     val rowBytes = (width * channels * bitDepth + 7) / 8
     val expected = height * (1 + rowBytes)
     graft.kernel.pdf.PdfParser.inflate(idat.toByteArray) match {
       case Some(raw) if raw.length.toLong == expected =>
-        MediaMeta("image", width.toInt, height.toInt, channels, 0L, expected, valid = true)
-      case _ => invalid.copy(payload_bytes = bytes.length)
+        val bpp = math.max(1, (bitDepth * channels) / 8)
+        val px = defilterPng(raw, height.toInt, rowBytes.toInt, bpp)
+        if (px == null) (invalid.copy(payload_bytes = bytes.length), null)
+        else (MediaMeta("image", width.toInt, height.toInt, channels, 0L, expected,
+          valid = true), px)
+      case _ => (invalid.copy(payload_bytes = bytes.length), null)
     }
   }
 
@@ -420,22 +489,47 @@ object Multimodal {
   }
 
   /** Minimal PNG writer (fixture side): bitDepth 8, colorType 0 (grey) or
-    * 2 (RGB), non-interlaced, filter 0 per scanline, pixel bytes cycled
-    * from `content`. The IDAT zlib stream uses STORED deflate blocks with
+    * 2 (RGB), non-interlaced, pixel bytes cycled from `content`, every
+    * scanline filtered with `filterType` (0..4 — None/Sub/Up/Average/
+    * Paeth per RFC 2083 §6, applied forward so the decoder must genuinely
+    * defilter). The IDAT zlib stream uses STORED deflate blocks with
     * a hand-computed adler32 — fully from-scratch, nothing pinned, and
     * the JDK Inflater (so any PNG reader) inflates it fine. */
-  def encodePng(width: Int, height: Int, colorType: Int, content: Array[Byte]): Array[Byte] = {
+  def encodePng(width: Int, height: Int, colorType: Int, content: Array[Byte],
+                filterType: Int = 0): Array[Byte] = {
     require(colorType == 0 || colorType == 2, "writer supports grey/RGB only")
+    require(filterType >= 0 && filterType <= 4, "filter 0..4")
     val channels = pngChannels(colorType)
+    val bpp = channels // bitDepth 8
     val rowBytes = width * channels
+    // original pixels first (what the oracle recomputes from `content`)...
+    val px = new Array[Byte](rowBytes * height)
+    if (content.nonEmpty) {
+      var k = 0
+      while (k < px.length) { px(k) = content(k % content.length); k += 1 }
+    }
+    // ...then the forward-filtered scanlines the decoder must invert
     val raw = new Array[Byte]((1 + rowBytes) * height)
-    var k = 0
     var y = 0
     while (y < height) {
-      val base = y * (1 + rowBytes) // raw(base) stays 0: filter type None
+      val base = y * (1 + rowBytes)
+      raw(base) = filterType.toByte
+      val oo = y * rowBytes
       var x = 0
       while (x < rowBytes) {
-        if (content.nonEmpty) { raw(base + 1 + x) = content(k % content.length); k += 1 }
+        val o = px(oo + x) & 0xFF
+        val a = if (x >= bpp) px(oo + x - bpp) & 0xFF else 0
+        val b = if (y > 0) px(oo - rowBytes + x) & 0xFF else 0
+        val pred = filterType match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) >> 1
+          case _ =>
+            val c = if (x >= bpp && y > 0) px(oo - rowBytes + x - bpp) & 0xFF else 0
+            paeth(a, b, c)
+        }
+        raw(base + 1 + x) = ((o - pred) & 0xFF).toByte
         x += 1
       }
       y += 1
@@ -486,16 +580,20 @@ object Multimodal {
 
   /** Doc-derived PNG blob for the SQL-oracled PNG query: geometry is pure
     * doc_id arithmetic (width 4+(id*13)%48, height 4+(id*17)%48, RGB for
-    * even ids / grey for odd), pixels cycled from the doc text. Every 5th
-    * doc is a corrupt blob (raw text bytes, no signature) so the invalid
-    * path is oracled too. */
+    * even ids / grey for odd), pixels cycled from the doc text, scanlines
+    * forward-filtered with Paeth for ids divisible by 3 and filter
+    * (id % 5) in 0..3 otherwise — all five RFC 2083 filters occur across
+    * the corpus, so oracle parity on the pixel-derived stat proves the
+    * defilter. Every 5th doc is a corrupt blob (raw text bytes, no
+    * signature) so the invalid path is oracled too. */
   def pngFromDoc(docId: Long, text: String): (Long, Array[Byte]) = {
     val payload = (if (text == null) "" else text)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val blob =
       if (docId % 5 == 4) payload
       else encodePng((4 + (docId * 13) % 48).toInt, (4 + (docId * 17) % 48).toInt,
-        if (docId % 2 == 0) 2 else 0, payload)
+        if (docId % 2 == 0) 2 else 0, payload,
+        filterType = if (docId % 3 == 0) 4 else (docId % 5).toInt)
     (docId, blob)
   }
 

@@ -106,6 +106,7 @@ object Similarity {
   }
 
   def nearestCentroids(v: Array[Float], cents: Array[Array[Float]], n: Int): Array[Int] = {
+    if (cents.isEmpty) return Array.emptyIntArray
     if (n == 1) {
       // corpus-assignment hot path: plain argmax, no per-vector Seq/sort
       // allocation. Strict `>` keeps the lowest index on score ties —

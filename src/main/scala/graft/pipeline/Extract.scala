@@ -28,12 +28,19 @@ import graft.tables.SnapshotTable
  */
 object Extract {
 
+  /** Done-set row count at which resume switches from plain left_anti to
+    * the Bloom-pruned exact anti-join: ~4M rows is past any sane broadcast
+    * threshold, while the bloom build itself stays trivial (8 MB cap). */
+  val DefaultBloomResumeMinRows: Long = 4L << 20
+
   final case class Metrics(version: Int, input: Long, extracted: Long,
                            failed: Long, bytesIn: Long)
 
   final case class PageSlim(url: String, html: Array[Byte])
-  /** Pending row with its retry count (prior failed attempts, 0 first time). */
-  final case class PageJob(url: String, html: Array[Byte], prior_attempts: Int)
+  /** Pending row with its retry count (prior failed attempts, 0 first time)
+    * and the canonical url key it salts/dedups/resumes on. */
+  final case class PageJob(url: String, html: Array[Byte], prior_attempts: Int,
+                           url_key: Long)
 
   /** Run one incremental extraction pass. Quarantine semantics follow the
     * reference's retry-then-terminal state machine (src/queue.py:59-78): a
@@ -42,19 +49,43 @@ object Extract {
     * and becomes terminal only at maxRetries. */
   def run(spark: SparkSession, pagesDf: DataFrame, table: SnapshotTable,
           numSalts: Int = 256, numPartitions: Int = 0,
-          maxRetries: Int = SnapshotTable.DefaultMaxRetries): Metrics = {
+          maxRetries: Int = SnapshotTable.DefaultMaxRetries,
+          bloomResumeMinRows: Long = DefaultBloomResumeMinRows): Metrics = {
     import spark.implicits._
 
     val p = if (numPartitions > 0) numPartitions
             else spark.sparkContext.defaultParallelism
 
     // column pruning is explicit: url + html only (html is the fat column;
-    // text/lang/warc_ts are never read — verify via .explain ReadSchema)
+    // text/lang/warc_ts are never read — verify via .explain ReadSchema).
+    // The canonical url key (xxhash64 of the RFC 3986-normalized url,
+    // functions/UrlFunctions) computes in the same scan projection and is
+    // THE pipeline key: salting, within-batch variant collapse, and resume
+    // all go through it, so two spellings of one page are one extraction —
+    // the normalization the reference's url-keyed queue lacks
+    // (src/queue.py:24-33 keys raw strings).
     val pages = pagesDf.select(col("url"), col("html"))
+      .withColumn("url_key", graft.functions.UrlFunctions.urlKey(col("url")))
+    def keyed(done: DataFrame): DataFrame =
+      done.select(graft.functions.UrlFunctions.urlKey(col("url")).as("url_key"))
 
+    // Resume (S1/S2, the claim query the reference revolves around —
+    // src/queue.py:24-33). Two exact, row-identical strategies:
+    //  - done-set below `bloomResumeMinRows` (or unsized external chain):
+    //    plain left_anti — Catalyst/AQE broadcasts a small build side;
+    //  - at/above it: Bloom-pruned exact anti-join — the fat (url, html)
+    //    side is never exchanged, which is the shape a 100 TB done-set
+    //    needs (see operators/BloomResume.scala). The manifest row total
+    //    upper-bounds distinct done urls, so the filter is never undersized
+    //    by more than the retry fraction (fpp degrades, exactness doesn't).
     val notDone = table.doneUrls(spark, maxRetries) match {
-      case Some(done) => pages.join(done, Seq("url"), "left_anti")
-      case None       => pages
+      case Some(done) =>
+        table.chainRowTotal match {
+          case Some(est) if est >= bloomResumeMinRows =>
+            graft.operators.BloomResume.bloomAntiJoin(pages, keyed(done), "url_key", est)
+          case _ => pages.join(keyed(done), Seq("url_key"), "left_anti")
+        }
+      case None => pages
     }
     // attach prior attempt counts for re-driven failures. The set is small
     // by construction (failed-but-retryable urls only) so Catalyst/AQE will
@@ -62,7 +93,10 @@ object Extract {
     // all-failing corpus must degrade to a shuffle join, not OOM the driver.
     val pending = table.retryAttempts(spark, maxRetries) match {
       case Some(att) =>
-        notDone.join(att, Seq("url"), "left")
+        val attKeyed = att.select(
+          graft.functions.UrlFunctions.urlKey(col("url")).as("url_key"),
+          col("prior_attempts"))
+        notDone.join(attKeyed, Seq("url_key"), "left")
           .withColumn("prior_attempts", coalesce(col("prior_attempts"), lit(0)))
       case None => notDone.withColumn("prior_attempts", lit(0))
     }
@@ -75,10 +109,18 @@ object Extract {
     // evidence that salting defused host skew (§4.3)
     val partStats = spark.sparkContext.collectionAccumulator[(Int, Long, Long)]("graft.partStats")
 
+    // Salt on the canonical key (variants share a salt, hence a partition),
+    // then sort within partitions by (url_key, url): the spillable external
+    // sort groups variant spellings adjacently so the kernel iterator
+    // collapses them streaming — deterministic (lexicographically smallest
+    // spelling survives), no per-partition buffering, and still exactly one
+    // exchange (the Sort is partition-local).
+    val docsDeduped = spark.sparkContext.longAccumulator("graft.docsDeduped")
     val salted = pending
-      .withColumn("salt", pmod(xxhash64(col("url")), lit(numSalts)).cast("int"))
+      .withColumn("salt", pmod(col("url_key"), lit(numSalts)).cast("int"))
       .repartition(p, col("salt"))
-      .select(col("url"), col("html"), col("prior_attempts"))
+      .sortWithinPartitions(col("url_key"), col("url"))
+      .select(col("url"), col("html"), col("prior_attempts"), col("url_key"))
       .as[PageJob]
 
     val extracted = salted.mapPartitions { it =>
@@ -86,7 +128,14 @@ object Extract {
       val taskRetry = Option(TaskContext.get()).map(_.attemptNumber).getOrElse(0)
       val t0 = System.nanoTime()
       var nDocs = 0L
-      val mapped = it.map { pg =>
+      var prevKey = 0L
+      var first = true
+      val mapped = it.filter { pg =>
+        val keep = first || pg.url_key != prevKey
+        prevKey = pg.url_key; first = false
+        if (!keep) docsDeduped.add(1)
+        keep
+      }.map { pg =>
         bytesIn.add(if (pg.html == null) 0 else pg.html.length.toLong)
         val doc = ExtractKernel.extractOne(pg.url, pg.html, pid,
           pg.prior_attempts + taskRetry)
@@ -127,6 +176,7 @@ object Extract {
       "input" -> written,
       "extracted" -> ok,
       "failed" -> (written - ok),
+      "deduped" -> docsDeduped.value.toLong,
       "bytes_in" -> bytesIn.value.toLong)
     import scala.jdk.CollectionConverters._
     val lineageRows = partStats.value.asScala.toSeq.sortBy(_._1).map {

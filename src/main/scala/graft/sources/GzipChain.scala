@@ -21,8 +21,11 @@ import java.util.zip.{CRC32, DataFormatException, Inflater}
  *
  * Truncation/corruption tolerant by contract (WARC reader semantics): a
  * mid-member truncated tail, a bad trailer, or corrupt deflate data ends
- * the stream after the last cleanly produced bytes — never an exception.
- * The enclosing record parser then discards any partial record.
+ * the stream — never an exception. Only bytes of CRC-verified members
+ * (plus any chunks of an oversized corrupt member that were already
+ * consumed before its trailer could be checked) ever surface; the final
+ * unverified chunk of a bad member is dropped at the trailer check. The
+ * enclosing record parser then discards any partial record.
  */
 final class GzipChainInputStream(ch: ReadableByteChannel,
                                  bufSize: Int = 1 << 16) extends InputStream {
@@ -133,7 +136,14 @@ final class GzipChainInputStream(ch: ReadableByteChannel,
             // the inflater leaves unconsumed bytes (trailer + next member)
             // in `raw` at its advanced position
             if (readTrailer()) state = StHeader
-            else { state = StEof; return out.hasRemaining }
+            else {
+              // trailer missing or CRC32/ISIZE mismatch: drop the final,
+              // not-yet-verified chunk so only bytes from CRC-verified
+              // members surface (earlier already-consumed chunks of an
+              // oversized corrupt member cannot be retracted; the record
+              // parser discards them as a partial record)
+              state = StEof; out.limit(out.position()); return out.hasRemaining
+            }
           } else if (produced == 0 && inf.needsDictionary()) {
             state = StEof; return out.hasRemaining
           }

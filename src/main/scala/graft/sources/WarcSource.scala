@@ -181,7 +181,7 @@ package warc {
         while (ok && h != null && h.nonEmpty) {
           val i = h.indexOf(':')
           if (i > 0) {
-            val k = h.substring(0, i).trim.toLowerCase
+            val k = h.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
             val v = h.substring(i + 1).trim
             k match {
               case "warc-target-uri" => url = v
@@ -197,21 +197,24 @@ package warc {
         }
         if (!ok || h == null || len < 0) return false // malformed tail
         val isResponse = wtype == "response"
-        // a block too large to materialize as one array is skipped, not
-        // treated as a malformed tail — the rest of the file still reads
-        if (!isResponse || !needContent || len > Int.MaxValue - 16) {
+        // a block too large to materialize as one array is SKIPPED ENTIRELY
+        // (no row) when content is required, not treated as a malformed
+        // tail — the rest of the file still reads. Emitting a null-content
+        // row here would be indistinguishable from a pruned-column read.
+        val oversized = len > Int.MaxValue - 16
+        if (!isResponse || !needContent || oversized) {
           if (!skipFully(len)) return false
-          if (isResponse) {
+          if (isResponse && !(needContent && oversized)) {
             current = buildRow(url, date, null)
             return true
           }
-          // else: skipped record type, continue scanning
+          // else: skipped record type / oversized-with-content, keep scanning
         } else {
           val payload = readFully(len.toInt)
           if (payload == null) return false // truncated tail
           val content =
             if (httpBody && ctype != null &&
-                ctype.toLowerCase.startsWith("application/http"))
+                ctype.toLowerCase(java.util.Locale.ROOT).startsWith("application/http"))
               httpEntityBody(payload)
             else payload
           current = buildRow(url, date, content)

@@ -91,6 +91,15 @@ final class SnapshotTable(dirStr: String) {
     if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
   }
 
+  /** Total rows written across the chain per manifest metrics ("input" =
+    * rows committed per snapshot, successes + quarantine). None if any
+    * manifest lacks the metric (externally-built chain). Upper-bounds the
+    * distinct done-url count — the Bloom sizing estimate for resume. */
+  def chainRowTotal: Option[Long] = {
+    val counts = visibleManifests.map(_.metrics.get("input"))
+    if (counts.isEmpty || counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+  }
+
   def isEmpty: Boolean = visibleDataDirs.isEmpty
 
   /** Read the full table at the current snapshot. */

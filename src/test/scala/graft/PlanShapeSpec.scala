@@ -173,6 +173,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no key-only scan branch:\n${readSchemas.mkString("\n")}")
   }
 
+  test("pipeline bloom resume: might_contain probe, fat column never crosses a shuffle") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("plan-pages3").toString
+    spark.range(200).mapPartitions(_.map(i => graft.fixtures.PageGen.page(i, 42L)))
+      .write.mode("overwrite").parquet(dir)
+    val tableDir = Files.createTempDirectory("plan-table").toString
+    val table = new graft.tables.SnapshotTable(tableDir)
+    graft.pipeline.Extract.run(spark, spark.read.parquet(dir), table,
+      numSalts = 4, numPartitions = 2)
+    // the exact resume dataflow Extract.run builds above the bloom threshold
+    val pages = spark.read.parquet(dir).select(col("url"), col("html"))
+    val resumed = graft.operators.BloomResume.bloomAntiJoin(
+      pages, table.doneUrls(spark).get, "url", table.chainRowTotal.get)
+    // pin the static plan (AQE off) so join strategies are decided here
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = resumed.queryExecution.executedPlan
+      val s = plan.toString
+      assert(s.contains("might_contain"), s"bloom probe missing:\n$s")
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.forall(e => !e.output.exists(_.name == "html")),
+        s"fat column crosses an exchange:\n$s")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("aggregates use partial (map-side) aggregation") {
     val plan = planOf(SparkEntry.queries("q_lang_stats")(spark, sf))
     // two HashAggregate nodes: partial + final

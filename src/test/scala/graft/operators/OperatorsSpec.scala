@@ -383,6 +383,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(freshRun.count() === pages.count())
   }
 
+  test("PNG defilter: every RFC 2083 filter type reconstructs the original pixels") {
+    val content = "defilter roundtrip content 0123456789".getBytes
+    for (ft <- 0 to 4; colorType <- Seq(0, 2)) {
+      val w = 11; val h = 6
+      val channels = if (colorType == 2) 3 else 1
+      val expected = Array.tabulate(w * channels * h)(i => content(i % content.length))
+      val (meta, px) = Multimodal.decodePngPixels(
+        Multimodal.encodePng(w, h, colorType, content, filterType = ft))
+      assert(meta.valid, s"filter $ft colorType $colorType must decode valid")
+      assert(px != null && java.util.Arrays.equals(px, expected),
+        s"filter $ft colorType $colorType pixels differ")
+      // the filtered stream itself must differ from the pixels for ft > 0
+      // (otherwise the encoder never really filtered and this test is vacuous)
+      if (ft > 0) {
+        val m2 = Multimodal.decodePngPixels(
+          Multimodal.encodePng(w, h, colorType, content, filterType = 0))
+        assert(java.util.Arrays.equals(m2._2, px), "same pixels via filter 0")
+      }
+    }
+    // a filter byte outside 0..4 reads invalid even when the zlib stream
+    // itself is intact: patch the raw scanlines and re-deflate (valid adler)
+    val png0 = Multimodal.encodePng(4, 3, 0, content)
+    val raw0 = {
+      var off = 8 + 25
+      var idat: Array[Byte] = null
+      while (idat == null) {
+        val len = ((png0(off) & 0xFF) << 24) | ((png0(off + 1) & 0xFF) << 16) |
+          ((png0(off + 2) & 0xFF) << 8) | (png0(off + 3) & 0xFF)
+        if (new String(png0, off + 4, 4, "US-ASCII") == "IDAT")
+          idat = java.util.Arrays.copyOfRange(png0, off + 8, off + 8 + len)
+        off += 12 + len
+      }
+      graft.kernel.pdf.PdfParser.inflate(idat).get
+    }
+    raw0(0) = 9 // first scanline's filter byte
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw0); d.finish()
+    val comp = new Array[Byte](raw0.length + 64)
+    val n = d.deflate(comp); d.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    out.write(java.util.Arrays.copyOfRange(png0, 8, 8 + 25))
+    out.write(java.nio.ByteBuffer.allocate(8).putInt(n).put("IDAT".getBytes, 0, 4).array())
+    out.write(comp, 0, n); out.write(new Array[Byte](4))
+    out.write(java.nio.ByteBuffer.allocate(8).putInt(0).put("IEND".getBytes, 0, 4).array())
+    out.write(new Array[Byte](4))
+    assert(!Multimodal.decodePng(out.toByteArray).valid, "filter byte 9 must be invalid")
+  }
+
   test("PNG decode: IHDR geometry, real IDAT inflate, corruption, fuzz") {
     // 7x5 RGB: rowBytes = 21, scanlines = 5 * (1 + 21) = 110
     val png = Multimodal.encodePng(7, 5, 2, "pngcontent".getBytes)

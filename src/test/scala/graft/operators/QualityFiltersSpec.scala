@@ -102,6 +102,54 @@ class QualityFiltersSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
   }
 
+  private def repFor(text: String): Map[String, AnyVal] = {
+    import spark.implicits._
+    val row = QualityFilters.gopherRepetitionFlags(Seq((1L, text)).toDF("doc_id", "text"))
+      .collect().head
+    row.schema.fieldNames.filterNot(_ == "doc_id")
+      .map(c => c -> row.getAs[Int](c).asInstanceOf[AnyVal]).toMap
+  }
+
+  test("gopher repetition flags: planted failures trip exactly their rule") {
+    // 60 distinct words: nothing repeats, every rule passes
+    val clean = repFor((0 until 60).map(i => f"word$i%02d").mkString(" "))
+    assert(clean("n_dup_lines") === 0 && clean("keep") === 1, s"$clean")
+
+    // 8 identical 8-word lines: dup-line fraction 7/8 >> 30%
+    val dupLines = repFor(Array.fill(8)((1 to 8).map(i => s"w$i").mkString(" ")).mkString(" "))
+    assert(dupLines("n_dup_lines") === 7)
+    assert(dupLines("ok_dup_line") === 0 && dupLines("ok_dup_line_char") === 0)
+    assert(dupLines("keep") === 0)
+
+    // "alpha beta" leads every otherwise-distinct 8-word line: the top
+    // 2-gram covers 9*10 of ~270 chars (>20%) while no line duplicates
+    val topBigram = repFor((1 to 10)
+      .map(i => s"alpha beta x$i c$i d$i e$i f$i g$i").mkString(" "))
+    assert(topBigram("n_dup_lines") === 0)
+    assert(topBigram("ok_top2") === 0 && topBigram("keep") === 0)
+
+    // "p q r s t" (5 single-char words) repeats in every chunk, diluted by
+    // three 9-char unique words: dup-5-gram coverage 50/320 > 15% while
+    // the inner top-2/3/4-gram fractions stay under their bars
+    val dup5 = repFor((0 until 10)
+      .map(i => s"p q r s t u${i}aaaaaaa v${i}bbbbbbb w${i}ccccccc").mkString(" "))
+    assert(dup5("n_dup_lines") === 0)
+    assert(dup5("ok_top2") === 1 && dup5("ok_top3") === 1 && dup5("ok_top4") === 1,
+      s"$dup5")
+    assert(dup5("ok_dup5") === 0 && dup5("keep") === 0, s"$dup5")
+    assert(dup5("dup5_chars") === 50, s"$dup5")
+
+    // empty text: zero denominators pass vacuously (0 <= 0)
+    val empty = repFor("")
+    assert(empty("n_lines") === 0 && empty("keep") === 1)
+
+    // stays in codegen
+    import spark.implicits._
+    val plan = QualityFilters.gopherRepetitionFlags(
+      Seq((1L, "a b c")).toDF("doc_id", "text")).queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
+  }
+
   test("line dedup: corpus-wide duplicate chunks counted per document") {
     import spark.implicits._
     val shared = (1 to 8).map(i => s"dup$i").mkString(" ")

@@ -22,7 +22,11 @@ class ExtractPipelineSpec extends AnyFunSuite {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
-  test("extract 500 pages, commit, resume no-op, incremental append") {
+  // Both resume strategies must be row-identical end-to-end: plain left_anti
+  // (bloomMin = MaxValue can never trigger) and the Bloom-pruned exact
+  // anti-join (bloomMin = 0 forces it whenever a chain exists).
+  for ((label, bloomMin) <- Seq("plain-anti" -> Long.MaxValue, "forced-bloom" -> 0L))
+  test(s"extract 500 pages, commit, resume no-op, incremental append [$label]") {
     import spark.implicits._
     val pagesDir = tmp("pages")
     val tableDir = tmp("table")
@@ -34,14 +38,16 @@ class ExtractPipelineSpec extends AnyFunSuite {
     val pages = spark.read.parquet(pagesDir)
 
     // pass 1: everything pending
-    val m1 = Extract.run(spark, pages, table, numSalts = 16, numPartitions = 4)
+    val m1 = Extract.run(spark, pages, table, numSalts = 16, numPartitions = 4,
+      bloomResumeMinRows = bloomMin)
     assert(m1.version === 0)
     assert(m1.input === 500)
     assert(m1.failed === 0, s"unexpected quarantine rows: ${m1.failed}")
     assert(table.read(spark).count() === 500)
 
     // pass 2 on same input: resume anti-join -> nothing to do
-    val m2 = Extract.run(spark, pages, table, numSalts = 16, numPartitions = 4)
+    val m2 = Extract.run(spark, pages, table, numSalts = 16, numPartitions = 4,
+      bloomResumeMinRows = bloomMin)
     assert(m2.input === 0, "resume must be a no-op on unchanged input")
     assert(table.read(spark).count() === 500)
 
@@ -49,7 +55,7 @@ class ExtractPipelineSpec extends AnyFunSuite {
     spark.range(500, 600).mapPartitions(_.map(i => PageGen.page(i, 42L)))
       .write.mode("append").parquet(pagesDir)
     val m3 = Extract.run(spark, spark.read.parquet(pagesDir), table,
-      numSalts = 16, numPartitions = 4)
+      numSalts = 16, numPartitions = 4, bloomResumeMinRows = bloomMin)
     assert(m3.input === 100, s"expected 100 incremental, got ${m3.input}")
     val all = table.read(spark)
     assert(all.count() === 600)
@@ -67,7 +73,8 @@ class ExtractPipelineSpec extends AnyFunSuite {
     assert(mf.metrics("bytes_in") > 0)
   }
 
-  test("failed rows are re-driven with incremented attempt, terminal at maxRetries") {
+  for ((label, bloomMin) <- Seq("plain-anti" -> Long.MaxValue, "forced-bloom" -> 0L))
+  test(s"failed rows re-driven with incremented attempt, terminal at maxRetries [$label]") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     import graft.kernel.ExtractKernel.{ExtractedDoc, Lineage}
@@ -92,7 +99,8 @@ class ExtractPipelineSpec extends AnyFunSuite {
     assert(pre.getOrElse("error", 0L) === 1)
 
     // run: all 20 minus deadUrl (terminal) are pending; retryUrl re-driven
-    val m1 = Extract.run(spark, pages, table, numSalts = 4, numPartitions = 2)
+    val m1 = Extract.run(spark, pages, table, numSalts = 4, numPartitions = 2,
+      bloomResumeMinRows = bloomMin)
     assert(m1.input === 19, s"expected 19 pending (terminal url excluded), got ${m1.input}")
     val out = table.read(spark)
     val retryRows = out.filter(col("url") === retryUrl && col("error").isNull)
@@ -103,7 +111,8 @@ class ExtractPipelineSpec extends AnyFunSuite {
       "terminal url must not be re-attempted")
 
     // resume is again a no-op (successes + terminal failures both done)
-    val m2 = Extract.run(spark, pages, table, numSalts = 4, numPartitions = 2)
+    val m2 = Extract.run(spark, pages, table, numSalts = 4, numPartitions = 2,
+      bloomResumeMinRows = bloomMin)
     assert(m2.input === 0, "nothing pending after re-drive")
 
     val post = Extract.statusCounts(spark, table).collect()
@@ -111,6 +120,34 @@ class ExtractPipelineSpec extends AnyFunSuite {
     assert(post.getOrElse("pending_retry", 0L) === 0)
     assert(post.getOrElse("error", 0L) === 1)
     assert(post.getOrElse("done", 0L) + post.getOrElse("done_empty", 0L) === 19)
+  }
+
+  test("canonical url keys: case/port/fragment/param-order variants collapse to one extraction") {
+    import spark.implicits._
+    val tableDir = tmp("table4")
+    val table = new SnapshotTable(tableDir)
+    def page(u: String) =
+      (u, s"<html><body><p>${"page body words " * 10}</p></body></html>"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val variants = Seq(
+      "https://Example.COM:443/a?x=1&y=2#frag",
+      "https://example.com/a?y=2&x=1",
+      "https://example.com:443/a?x=1&y=2")
+    val others = (1 to 5).map(i => s"https://host$i.org/p$i")
+    val pages = (variants ++ others).map(page).toDF("url", "html")
+
+    val m1 = Extract.run(spark, pages, table, numSalts = 4, numPartitions = 2)
+    assert(m1.input === 6, s"3 variants must collapse to 1: ${m1.input}")
+    val urls = table.read(spark).select("url").as[String].collect().toSet
+    assert(urls.count(_.toLowerCase.contains("example.com")) === 1, s"$urls")
+    // deterministic representative: lexicographically smallest spelling
+    assert(urls.contains(variants.sorted.head), s"$urls")
+    assert(table.manifest(0).get.metrics("deduped") === 2)
+
+    // resume: yet another spelling of the same page is already done
+    val respelled = Seq(page("https://EXAMPLE.com/a?y=2&x=1#other")).toDF("url", "html")
+    val m2 = Extract.run(spark, respelled, table, numSalts = 4, numPartitions = 2)
+    assert(m2.input === 0, "respelled url must resume as done")
   }
 
   test("interrupted commit leaves previous snapshot intact (crash safety)") {
