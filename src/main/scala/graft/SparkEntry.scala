@@ -27,10 +27,11 @@ object SparkEntry {
     * documents table). Plain flavor: 4 files, half .warc / half .warc.gz.
     * httpGz flavor: all .warc.gz with HTTP-wrapped payloads. */
   private def warcFixtureDir(s: SparkSession, dir: String,
-                             httpGz: Boolean): java.io.File = {
+                             httpGz: Boolean, index: Boolean = false): java.io.File = {
     val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
     val a = docs.agg(count(lit(1)).as("n"), sum(length(col("text"))).as("len")).head()
-    val tag = s"${a.getLong(0)}-${a.getLong(1)}" + (if (httpGz) "-httpgz" else "")
+    val tag = s"${a.getLong(0)}-${a.getLong(1)}" +
+      (if (httpGz) "-httpgz" else "") + (if (index) "-idx" else "")
     val outDir = new java.io.File(s"/tmp/graft-warc-v2-$tag")
     if (!new java.io.File(outDir, "_DONE").exists()) {
       outDir.mkdirs()
@@ -45,10 +46,11 @@ object SparkEntry {
               r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
           }.toVector
           if (recs.nonEmpty) {
-            val gz = httpGz || pid % 2 == 1
+            val gz = index || httpGz || pid % 2 == 1
             val name = s"part-$pid.warc" + (if (gz) ".gz" else "")
             graft.sources.warc.WarcFixtures.writeWarc(
-              new java.io.File(outDir, name), recs, gzip = gz, httpWrap = httpGz)
+              new java.io.File(outDir, name), recs, gzip = gz, httpWrap = httpGz,
+              index = index)
           }
         }
       new java.io.File(outDir, "_DONE").createNewFile()
@@ -303,6 +305,20 @@ object SparkEntry {
         .load(outDir.getAbsolutePath)
         .select(col("url"), col("warc_date"),
           length(col("content")).as("n_bytes")) // length(BINARY) = bytes
+        .orderBy("url")
+    }),
+    // ----- Split WARC scan: all-gz fixture with .warci member indexes,
+    //       read as small byte-range partitions (8 KiB target) — every
+    //       range boundary is a verified member/record start, so the
+    //       fanned-out read must be row-identical to the whole-file one
+    //       (same oracle as q_warc_roundtrip). -----
+    "q_warc_split" -> ((s, dir) => {
+      val outDir = warcFixtureDir(s, dir, httpGz = false, index = true)
+      s.read.format("graft.sources.warc.WarcDataSource")
+        .option("max_partition_bytes", "8192")
+        .load(outDir.getAbsolutePath)
+        .select(col("url"), col("warc_date"),
+          length(col("content")).as("n_bytes"))
         .orderBy("url")
     }),
     // ----- WARC with HTTP message blocks (.warc.gz + warc_http_body):
@@ -848,6 +864,12 @@ object SparkEntry {
     // the documents table says: url arithmetic, ISO-8601 second offsets,
     // UTF-8 payload byte counts.
     "q_warc_roundtrip" ->
+      ("SELECT 'doc://' || doc_id AS url, " +
+        "strftime(TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id), '%Y-%m-%dT%H:%M:%SZ') AS warc_date, " +
+        "octet_length(encode(text)) AS n_bytes FROM documents ORDER BY url"),
+    // the indexed byte-range scan must reproduce the whole-file read
+    // exactly — identical oracle, different physical plan
+    "q_warc_split" ->
       ("SELECT 'doc://' || doc_id AS url, " +
         "strftime(TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id), '%Y-%m-%dT%H:%M:%SZ') AS warc_date, " +
         "octet_length(encode(text)) AS n_bytes FROM documents ORDER BY url"),

@@ -36,6 +36,19 @@ final class GzipChainInputStream(ch: ReadableByteChannel,
   private val raw = ByteBuffer.allocateDirect(bufSize); raw.limit(0)
   private val out = ByteBuffer.allocateDirect(bufSize); out.limit(0)
 
+  /** Invoked with the absolute COMPRESSED offset of each member whose
+    * header parses cleanly, before any of its payload surfaces. Offsets
+    * are relative to the channel's position at construction — callers
+    * indexing a file must hand the channel over at offset 0. The hook
+    * fires only between members (`out` fully drained), so the next bytes
+    * the consumer reads are exactly the member's first inflated bytes —
+    * what WarcIndexer relies on to test record alignment. */
+  var onMemberStart: Long => Unit = _
+
+  private var chRead = 0L // total bytes taken from the channel
+  /** Absolute compressed offset of the next unconsumed raw byte. */
+  private def rawOffset: Long = chRead - raw.remaining()
+
   private final val StHeader = 0
   private final val StBody = 1
   private final val StEof = 2
@@ -49,6 +62,7 @@ final class GzipChainInputStream(ch: ReadableByteChannel,
     var n = ch.read(raw)
     while (n == 0) n = ch.read(raw) // non-blocking channels never appear here
     raw.flip()
+    if (n > 0) chRead += n
     if (n < 0 && !raw.hasRemaining) -1 else math.max(n, 0)
   }
 
@@ -112,7 +126,9 @@ final class GzipChainInputStream(ch: ReadableByteChannel,
       state match {
         case StEof => return false
         case StHeader =>
+          val memberOff = rawOffset
           if (!readHeader()) { state = StEof; return false }
+          if (onMemberStart != null) onMemberStart(memberOff)
           state = StBody
         case StBody =>
           out.clear()

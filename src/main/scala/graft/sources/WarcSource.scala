@@ -36,10 +36,11 @@ import org.apache.spark.unsafe.types.UTF8String
  * without copying the header bytes.
  *
  * Spark-first details:
- *  - one InputPartition per .warc/.warc.gz file — on a 100 TB crawl the
- *    unit of parallelism is the (many, ~1 GB) warc files, the standard
- *    layout; record-level splitting inside a gz file would need a
- *    member index (cluster-ready extension point);
+ *  - unit of parallelism: one InputPartition per .warc/.warc.gz file, OR
+ *    multiple ~128 MB byte-range partitions per gz file when a `.warci`
+ *    side index (WarcIndexer — member starts that begin a record) is
+ *    present, so a skewed file-size distribution cannot serialize the
+ *    scan on a few giant files;
  *  - column pruning is pushed into the reader
  *    (SupportsPushDownRequiredColumns): `select url` never materializes
  *    page bytes — the reader SKIPS payloads instead of copying them
@@ -77,18 +78,21 @@ package warc {
       util.EnumSet.of(TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       new WarcScanBuilder(Option(path).getOrElse(options.get("path")),
-        options.getBoolean("warc_http_body", false))
+        options.getBoolean("warc_http_body", false),
+        options.getLong("max_partition_bytes", WarcScan.DefaultMaxPartitionBytes))
   }
 
-  class WarcScanBuilder(path: String, httpBody: Boolean) extends ScanBuilder
+  class WarcScanBuilder(path: String, httpBody: Boolean,
+                        maxPartitionBytes: Long) extends ScanBuilder
       with SupportsPushDownRequiredColumns {
     private var required: StructType = WarcTable.schema
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = requiredSchema
-    override def build(): Scan = new WarcScan(path, required, httpBody)
+    override def build(): Scan = new WarcScan(path, required, httpBody, maxPartitionBytes)
   }
 
-  class WarcScan(path: String, required: StructType, httpBody: Boolean)
+  class WarcScan(path: String, required: StructType, httpBody: Boolean,
+                 maxPartitionBytes: Long = WarcScan.DefaultMaxPartitionBytes)
       extends Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
@@ -101,36 +105,96 @@ package warc {
           Option(f.listFiles((_, n) => n.endsWith(".warc") || n.endsWith(".warc.gz")))
             .getOrElse(Array.empty[java.io.File]).sortBy(_.getName)
         else Array(f)
-      files.map(p => WarcFilePartition(p.getAbsolutePath): InputPartition)
+      files.flatMap { p =>
+        // A `.warci` side index (WarcIndexer) lists the safe split offsets
+        // of a gz file: compressed member starts whose inflated payload
+        // begins a WARC record. With one, a large file fans out into
+        // ~maxPartitionBytes ranges, each ending exactly at another
+        // member start — no partition ever double-reads or spans a
+        // record. Without one (or for plain .warc), the file stays a
+        // single partition: the whole-file-gzip layout (one member
+        // spanning all records) has no safe interior split points, and
+        // magic-byte guessing inside compressed payloads is not exact.
+        val splits = WarcIndexer.readIndex(p)
+        // split only when the index covers the file from byte 0 — an index
+        // whose first member starts later cannot reproduce the whole-file
+        // read exactly, so it is ignored rather than trusted
+        if (splits.length <= 1 || splits.head != 0L)
+          Seq(WarcFilePartition(p.getAbsolutePath, 0L, p.length()))
+        else {
+          val starts = ArrayBuffer(splits.head)
+          var chunkStart = splits.head
+          splits.tail.foreach { off =>
+            if (off - chunkStart >= maxPartitionBytes) { starts += off; chunkStart = off }
+          }
+          val bounds = starts :+ p.length()
+          bounds.sliding(2).map { w =>
+            WarcFilePartition(p.getAbsolutePath, w(0), w(1)) }.toSeq
+        }
+      }.map(p => p: InputPartition)
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new WarcReaderFactory(required.fieldNames, httpBody)
   }
 
-  case class WarcFilePartition(file: String) extends InputPartition
+  object WarcScan {
+    /** Same default unit of scan parallelism Spark's own file sources use
+      * (spark.sql.files.maxPartitionBytes). */
+    val DefaultMaxPartitionBytes: Long = 128L << 20
+  }
+
+  case class WarcFilePartition(file: String, start: Long, end: Long) extends InputPartition
 
   class WarcReaderFactory(fields: Array[String], httpBody: Boolean)
       extends PartitionReaderFactory {
-    override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-      new WarcRecordReader(partition.asInstanceOf[WarcFilePartition].file, fields, httpBody)
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val p = partition.asInstanceOf[WarcFilePartition]
+      new WarcRecordReader(p.file, fields, httpBody, p.start, p.end)
+    }
   }
 
-  /** Streaming single-pass record reader; skips (never copies) payloads
-    * of pruned-away content columns and of non-response records. */
-  class WarcRecordReader(file: String, fields: Array[String],
-                         httpBody: Boolean = false)
-      extends PartitionReader[InternalRow] {
-    private val in: InputStream = {
-      // sniff the gzip magic rather than trusting the extension, then
-      // rewind through the shared channel position
-      val fis = new FileInputStream(file)
-      val b0 = fis.read(); val b1 = fis.read()
-      fis.getChannel.position(0L)
-      if (b0 == 0x1F && b1 == 0x8B) new GzipChainInputStream(fis.getChannel)
-      else new BufferedInputStream(fis, 1 << 16)
+  /** ReadableByteChannel view of `ch`'s next `remaining` bytes — a split
+    * partition's gz chain must see EOF exactly at the next member start,
+    * so the chain ends cleanly at the range boundary. */
+  private[warc] final class BoundedChannel(ch: java.nio.channels.FileChannel,
+                                           private var remaining: Long)
+      extends java.nio.channels.ReadableByteChannel {
+    override def read(dst: java.nio.ByteBuffer): Int = {
+      if (remaining <= 0) return -1
+      val oldLimit = dst.limit()
+      if (dst.remaining() > remaining)
+        dst.limit(dst.position() + remaining.toInt)
+      val n = try ch.read(dst) finally dst.limit(oldLimit)
+      if (n > 0) remaining -= n
+      n
     }
-    private val needContent = fields.contains("content")
-    private var current: InternalRow = _
+    override def isOpen: Boolean = ch.isOpen
+    override def close(): Unit = ch.close()
+  }
+
+  /** A parsed WARC response record. `content` is null when the payload was
+    * pruned away (column not requested). */
+  final case class WarcRec(url: String, date: String, content: Array[Byte])
+
+  /** Streaming single-pass record parser over any InputStream of WARC
+    * bytes; skips (never copies) payloads of pruned-away content columns
+    * and of non-response records. Shared by the batch DSv2 reader (file
+    * ranges) and the streaming path (whole in-memory files). */
+  private[sources] final class WarcRecordIterator(in: InputStream,
+                                                  needContent: Boolean,
+                                                  httpBody: Boolean)
+      extends Iterator[WarcRec] {
+    private var nextRec: WarcRec = _
+    private var done = false
+
+    override def hasNext: Boolean = {
+      if (nextRec == null && !done) { nextRec = advance(); done = nextRec == null }
+      nextRec != null
+    }
+    override def next(): WarcRec = {
+      if (!hasNext) throw new NoSuchElementException
+      val r = nextRec; nextRec = null; r
+    }
 
     private def readLine(): String = {
       // header lines are CRLF-terminated ASCII per spec
@@ -164,12 +228,13 @@ package warc {
       buf
     }
 
-    override def next(): Boolean = {
+    /** Next response record, or null at (graceful) end of stream. */
+    private def advance(): WarcRec = {
       while (true) {
         // seek the record header line (tolerates inter-record blank lines)
         var line = readLine()
         while (line != null && !line.startsWith("WARC/")) line = readLine()
-        if (line == null) return false
+        if (line == null) return null
         // named headers until the blank line
         var url: String = null
         var date: String = null
@@ -195,7 +260,7 @@ package warc {
           }
           h = readLine()
         }
-        if (!ok || h == null || len < 0) return false // malformed tail
+        if (!ok || h == null || len < 0) return null // malformed tail
         val isResponse = wtype == "response"
         // a block too large to materialize as one array is SKIPPED ENTIRELY
         // (no row) when content is required, not treated as a malformed
@@ -203,25 +268,22 @@ package warc {
         // row here would be indistinguishable from a pruned-column read.
         val oversized = len > Int.MaxValue - 16
         if (!isResponse || !needContent || oversized) {
-          if (!skipFully(len)) return false
-          if (isResponse && !(needContent && oversized)) {
-            current = buildRow(url, date, null)
-            return true
-          }
+          if (!skipFully(len)) return null
+          if (isResponse && !(needContent && oversized))
+            return WarcRec(url, date, null)
           // else: skipped record type / oversized-with-content, keep scanning
         } else {
           val payload = readFully(len.toInt)
-          if (payload == null) return false // truncated tail
+          if (payload == null) return null // truncated tail
           val content =
             if (httpBody && ctype != null &&
                 ctype.toLowerCase(java.util.Locale.ROOT).startsWith("application/http"))
               httpEntityBody(payload)
             else payload
-          current = buildRow(url, date, content)
-          return true
+          return WarcRec(url, date, content)
         }
       }
-      false
+      null
     }
 
     /** Entity body of an HTTP message block: everything after the first
@@ -240,18 +302,121 @@ package warc {
       payload
     }
 
-    private def buildRow(url: String, date: String, content: Array[Byte]): InternalRow = {
+    def close(): Unit = in.close()
+  }
+
+  /** DSv2 partition reader over one (file, start, end) byte range. A range
+    * other than whole-file is only ever planned for an indexed gz file,
+    * where both bounds are verified member-and-record starts. */
+  class WarcRecordReader(file: String, fields: Array[String],
+                         httpBody: Boolean = false,
+                         start: Long = 0L, end: Long = Long.MaxValue)
+      extends PartitionReader[InternalRow] {
+    private val it: WarcRecordIterator = {
+      // sniff the gzip magic rather than trusting the extension, then
+      // rewind through the shared channel position
+      val fis = new FileInputStream(file)
+      val b0 = fis.read(); val b1 = fis.read()
+      fis.getChannel.position(start)
+      val in: InputStream =
+        if (b0 == 0x1F && b1 == 0x8B)
+          new GzipChainInputStream(new BoundedChannel(fis.getChannel, end - start))
+        else new BufferedInputStream(fis, 1 << 16)
+      new WarcRecordIterator(in, fields.contains("content"), httpBody)
+    }
+    private var current: InternalRow = _
+
+    override def next(): Boolean = {
+      if (!it.hasNext) return false
+      val r = it.next()
       val values: Array[Any] = fields.map {
-        case "url" => if (url == null) null else UTF8String.fromString(url)
-        case "warc_date" => if (date == null) null else UTF8String.fromString(date)
-        case "content" => content
+        case "url" => if (r.url == null) null else UTF8String.fromString(r.url)
+        case "warc_date" => if (r.date == null) null else UTF8String.fromString(r.date)
+        case "content" => r.content
         case _ => null
       }
-      InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(values))
+      current = InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(values))
+      true
     }
 
     override def get(): InternalRow = current
-    override def close(): Unit = in.close()
+    override def close(): Unit = it.close()
+  }
+
+  /** Side index of safe split offsets for a `.warc.gz` file: the absolute
+    * compressed offsets of gzip members whose FIRST inflated bytes begin a
+    * WARC record ("WARC/"). In the crawl's one-member-per-record layout
+    * that is every member; in the whole-file-gzip layout it is offset 0
+    * alone (correctly yielding one partition). One decimal offset per
+    * line in `<file>.warci` — the moral equivalent of Common Crawl's CDX
+    * offsets, derived here from the gz framing itself in one sequential
+    * pass (an O(file) indexing job a real deployment runs once per file
+    * at crawl-ingest time, then every scan fans out). */
+  object WarcIndexer {
+    val Suffix = ".warci"
+
+    /** Sequentially scan a gz file and write its split index. Returns the
+      * number of split points found (0 for a non-gzip file: no index is
+      * written). Exact by construction: offsets come from the chain
+      * decoder's own member walk, and a member only qualifies if the
+      * record header literally begins at its first inflated byte. */
+    def writeIndex(gzFile: java.io.File): Int = {
+      val fis = new FileInputStream(gzFile)
+      val head0 = fis.read(); val head1 = fis.read()
+      fis.getChannel.position(0L)
+      if (head0 != 0x1F || head1 != 0x8B) { fis.close(); return 0 }
+      val offsets = ArrayBuffer.empty[Long]
+      val chain = new GzipChainInputStream(fis.getChannel)
+      try {
+        var pendingMember = -1L
+        chain.onMemberStart = off => pendingMember = off
+        val buf = new Array[Byte](1 << 16)
+        var n = chain.read(buf, 0, buf.length)
+        while (n >= 0) {
+          // a read never spans a member boundary (the chain refills its
+          // output one member-chunk at a time), so a member's first
+          // inflated bytes are always the head of the chunk after its
+          // onMemberStart fired
+          if (pendingMember >= 0) {
+            if (n >= 5 && buf(0) == 'W' && buf(1) == 'A' && buf(2) == 'R' &&
+                buf(3) == 'C' && buf(4) == '/')
+              offsets += pendingMember
+            pendingMember = -1L
+          }
+          n = chain.read(buf, 0, buf.length)
+        }
+      } finally chain.close()
+      val w = new java.io.FileWriter(new java.io.File(gzFile.getParentFile,
+        gzFile.getName + Suffix))
+      try offsets.foreach(o => w.write(o.toString + "\n")) finally w.close()
+      offsets.length
+    }
+
+    /** Split offsets for a file, or empty when it has no (readable) index. */
+    def readIndex(file: java.io.File): Array[Long] = {
+      val idx = new java.io.File(file.getParentFile, file.getName + Suffix)
+      if (!idx.isFile) return Array.emptyLongArray
+      val src = scala.io.Source.fromFile(idx, "UTF-8")
+      try src.getLines().filter(_.nonEmpty).map(_.toLong).toArray
+      catch { case _: NumberFormatException => Array.emptyLongArray }
+      finally src.close()
+    }
+  }
+
+  /** Streaming-side helper: parse WARC records out of one in-memory file
+    * image (the row shape `binaryFile` file streams deliver — executors
+    * hold one ~file per task, the same unit as the batch scan). Plain or
+    * gz, magic-sniffed. */
+  object WarcBytes {
+    def records(bytes: Array[Byte], httpBody: Boolean): Iterator[WarcRec] = {
+      if (bytes == null || bytes.length == 0) return Iterator.empty
+      val base = new java.io.ByteArrayInputStream(bytes)
+      val in: InputStream =
+        if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B)
+          new GzipChainInputStream(java.nio.channels.Channels.newChannel(base))
+        else base
+      new WarcRecordIterator(in, needContent = true, httpBody = httpBody)
+    }
   }
 
   /** Minimal spec-correct WARC writer (fixture side): response records,
@@ -265,7 +430,8 @@ package warc {
     def writeWarc(file: java.io.File,
                   records: Seq[(String, String, Array[Byte])],
                   gzip: Boolean = false,
-                  httpWrap: Boolean = false): Unit = {
+                  httpWrap: Boolean = false,
+                  index: Boolean = false): Unit = {
       import java.nio.charset.StandardCharsets.UTF_8
       val fileOut = new java.io.BufferedOutputStream(
         new java.io.FileOutputStream(file), 1 << 16)
@@ -303,6 +469,9 @@ package warc {
         } else rec.writeTo(fileOut)
       }
       fileOut.close()
+      // index from the finished bytes (not from writer bookkeeping): the
+      // same one-pass job that would index a crawl file we didn't write
+      if (index && gzip) WarcIndexer.writeIndex(file)
     }
   }
 }

@@ -56,16 +56,59 @@ object StreamingExtract {
    * 100 TB ingest wants the reject rate on a dashboard, not in the sink.
    */
   def qualityGatedExtract(spark: SparkSession, pagesDir: String,
-                          minWords: Int = 50): DataFrame = {
+                          minWords: Int = 50): DataFrame =
+    qualityGate(streamingExtract(spark, pagesDir), minWords)
+
+  /** Gopher keep-gate + observed accept/reject metrics over a stream of
+    * extracted docs (shared by the parquet and WARC ingest paths). */
+  private def qualityGate(extracted: DataFrame, minWords: Int): DataFrame = {
     val keep = graft.operators.QualityFilters
       .gopherKeep(coalesce(col("extracted_text"), lit("")), minWords)
-    streamingExtract(spark, pagesDir)
+    extracted
       .withColumn("keep", keep)
       .observe("quality_gate",
         count(lit(1)).as("total"),
         sum(when(col("keep"), 0L).otherwise(1L)).as("rejected"))
       .filter(col("keep"))
       .drop("keep")
+  }
+
+  /** Continuous crawl ingest: stream `.warc` / `.warc.gz` files arriving
+    * in `warcDir` end-to-end — WARC record parse -> extraction kernel ->
+    * Gopher quality gate with observed accept/reject counts. Run with
+    * Trigger.AvailableNow for catch-up-then-stop batch-over-stream runs.
+    *
+    * Spark-first: file discovery, exactly-once tracking and checkpointing
+    * ride Spark's own `binaryFile` file-stream source (one in-memory file
+    * image per row — the same per-file unit the batch DSv2 scan uses, and
+    * how a crawl sizes its ~1 GB warc files for executor memory); the
+    * record parse is the shared WarcRecordIterator over those bytes,
+    * gz magic-sniffed. */
+  def streamingWarcExtract(spark: SparkSession, warcDir: String,
+                           minWords: Int = 50,
+                           httpBody: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    val extracted = spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.{warc,warc.gz}")
+      .load(warcDir)
+      .select(col("content")).as[Array[Byte]]
+      .mapPartitions { files =>
+        val pid = Option(org.apache.spark.TaskContext.get())
+          .map(_.partitionId()).getOrElse(0)
+        files.flatMap { bytes =>
+          graft.sources.warc.WarcBytes.records(bytes, httpBody).map { r =>
+            graft.kernel.ExtractKernel.extractOne(r.url, r.content, pid, 0)
+          }
+        }
+      }
+      .toDF()
+    qualityGate(extracted, minWords)
   }
 
   final case class UrlSeen(url: String, first_ts: Long)

@@ -152,6 +152,58 @@ class WarcSpec extends AnyFunSuite {
     assert(gone.isDirectory === false)
   }
 
+  test("indexed .warc.gz splits into byte-range partitions with whole-file parity") {
+    val dir = tmpDir()
+    val f = new java.io.File(dir, "big.warc.gz")
+    val recs = (0 until 400).map { i =>
+      (s"http://s.example/$i", f"2026-03-03T00:${i / 60}%02d:${i % 60}%02dZ",
+        (s"payload $i " * (20 + i % 50)).getBytes("UTF-8"))
+    }
+    WarcFixtures.writeWarc(f, recs, gzip = true, index = true)
+    // the index is exact: every member starts a record, from byte 0
+    val offsets = graft.sources.warc.WarcIndexer.readIndex(f)
+    assert(offsets.length === 400)
+    assert(offsets.head === 0L)
+    assert(offsets.toSeq === offsets.sorted.toSeq)
+
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1),
+        new String(r.getAs[Array[Byte]](2), "UTF-8"))).sortBy(_._1).toSeq
+
+    val whole = readWarc(f.getAbsolutePath)
+    assert(whole.rdd.getNumPartitions === 1) // small file, default 128 MB ranges
+    val split = spark.read.format("graft.sources.warc.WarcDataSource")
+      .option("max_partition_bytes", "4096")
+      .load(f.getAbsolutePath)
+    assert(split.rdd.getNumPartitions > 4,
+      s"expected a fan-out, got ${split.rdd.getNumPartitions} partitions")
+    assert(rowsOf(split) === rowsOf(whole))
+    // pruned read across split partitions still sees every record once
+    val urls = spark.read.format("graft.sources.warc.WarcDataSource")
+      .option("max_partition_bytes", "4096")
+      .load(f.getAbsolutePath).select("url").collect().map(_.getString(0))
+    assert(urls.length === 400 && urls.toSet.size === 400)
+  }
+
+  test("whole-file-gzip index has one split point; scan stays a single partition") {
+    val dir = tmpDir()
+    val plain = new java.io.File(dir, "plain.tmp")
+    WarcFixtures.writeWarc(plain, Seq(
+      ("http://one/1", "2026-01-01T00:00:01Z", "a".getBytes("UTF-8")),
+      ("http://one/2", "2026-01-01T00:00:02Z", "bb".getBytes("UTF-8"))))
+    val bytes = java.nio.file.Files.readAllBytes(plain.toPath)
+    val f = new java.io.File(dir, "whole.warc.gz")
+    val gz = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(f))
+    gz.write(bytes); gz.close()
+    assert(graft.sources.warc.WarcIndexer.writeIndex(f) === 1)
+    val df = spark.read.format("graft.sources.warc.WarcDataSource")
+      .option("max_partition_bytes", "64")
+      .load(f.getAbsolutePath)
+    assert(df.rdd.getNumPartitions === 1)
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("http://one/1", "http://one/2"))
+  }
+
   test("column pruning reaches the reader: select url never materializes content") {
     val dir = tmpDir()
     WarcFixtures.writeWarc(new java.io.File(dir, "p.warc"),

@@ -67,6 +67,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(total === 3L && rejected === 1L, s"observed total=$total rejected=$rejected")
   }
 
+  test("streaming WARC ingest: .warc.gz through the gopher gate (AvailableNow)") {
+    import graft.sources.warc.WarcFixtures
+    val dir = Files.createTempDirectory("stream-warc").toFile
+    val good = ("the quick brown fox jumps over and over for fun " * 6).trim
+    val bad = "way too short for the gate"
+    // one gz file (two records, one failing the gate) + one plain file:
+    // both layouts must flow through the same stream
+    WarcFixtures.writeWarc(new java.io.File(dir, "a.warc.gz"), Seq(
+      ("warc://good-1", "2026-01-01T00:00:01Z", good.getBytes("UTF-8")),
+      ("warc://bad-1", "2026-01-01T00:00:02Z", bad.getBytes("UTF-8"))),
+      gzip = true)
+    WarcFixtures.writeWarc(new java.io.File(dir, "b.warc"), Seq(
+      ("warc://good-2", "2026-01-01T00:00:03Z", good.getBytes("UTF-8"))))
+
+    val q = StreamingExtract.streamingWarcExtract(spark, dir.getAbsolutePath)
+      .writeStream.format("memory").queryName("warc_gated")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt-warc").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val urls = spark.sql("SELECT url FROM warc_gated").collect().map(_.getString(0)).toSet
+    assert(urls === Set("warc://good-1", "warc://good-2"))
+    val metrics = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("quality_gate")))
+    val total = metrics.map(_.getAs[Long]("total")).sum
+    val rejected = metrics.map(_.getAs[Long]("rejected")).sum
+    assert(total === 3L && rejected === 1L, s"observed total=$total rejected=$rejected")
+  }
+
   test("watermarked event rollup over a bounded stream") {
     import spark.implicits._
     val dir = Files.createTempDirectory("stream-events").toString
