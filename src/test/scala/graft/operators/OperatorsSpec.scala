@@ -82,6 +82,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept === Set(1L, 10L, 20L))
   }
 
+  test("vec_dot: bit-identical to the zip_with+aggregate left fold, in codegen") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{aggregate, zip_with}
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 50).map { _ =>
+      (Array.fill(64)((rnd.nextFloat() - 0.5f) * 10f),
+        Array.fill(64)((rnd.nextFloat() - 0.5f) * 10f))
+    } :+ ((Array.empty[Float], Array.empty[Float]))
+    val df = rows.toDF("a", "b")
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+    val out = df.select(
+      graft.functions.DedupFunctions.vec_dot(col("a"), col("b")).as("fast"),
+      hof.as("ref")).collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+    // double-element arrays take the other element accessor
+    val d = Seq((Array(1.5d, -2.25d, 3.0d), Array(0.5d, 4.0d, -1.25d)))
+      .toDF("a", "b")
+      .select(graft.functions.DedupFunctions.vec_dot(col("a"), col("b")))
+      .head().getDouble(0)
+    assert(d === 1.5 * 0.5 + -2.25 * 4.0 + 3.0 * -1.25)
+  }
+
   test("IVF ANN: high recall on clustered vectors via probed cells") {
     import spark.implicits._
     val dim = 16
