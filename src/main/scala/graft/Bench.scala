@@ -272,6 +272,10 @@ object Bench {
     * temp-write + atomic rename — so concurrent runs only ever improve it. */
   def freezeE2eRecord(docsPerSec: Double, rows: Long, cpus: String,
                       canary1: Seq[Double], canary32: Seq[Double]): Unit = {
+    // only the full-size corpus may set the record: docs/sec from a small-SF
+    // rehearsal run is a different (noisier, overhead-dominated) quantity
+    // and must not displace an sf0.1 capture
+    if (rows < 100000) return
     val dir = Seq("fixtures", "/root/repo/fixtures")
       .map(new java.io.File(_)).find(_.isDirectory).getOrElse(return)
     val f = new java.io.File(dir, "bench_record_e2e.json")
@@ -486,8 +490,19 @@ object Bench {
           val starvedAt = rounds.filter(rd => !rd.valid &&
               (rd.uHi < rd.hi * 0.6 || rd.uLo < rd.lo * 0.6))
             .map(_.hi).toSet
+          // Pair policy, informed by the standing hunt's archive on this
+          // host (355 rounds): (8,32) passed the consumption gate 0/141
+          // times — lock-holder preemption caps pinned multi-thread JVMs
+          // at ~5-11 consumed cores regardless of the probe's reading — so
+          // it gets at most ONE attempt per run and only on a very strong
+          // probe; (1,4) was valid 108/161 (67%) and is where every >=0.8
+          // capture lives. After ANY starved round, drop straight to (1,4)
+          // (the intermediate notch burned round 2+3 of the 600 s budget
+          // in earlier artifacts without ever validating mid-throttle).
+          val anyStarved = starvedAt.nonEmpty
           val (lo, hi) =
-            if (ec0 >= 26.0 && !starvedAt(32)) (8, 32)
+            if (anyStarved) (1, 4)
+            else if (ec0 >= 30.0 && !starvedAt(32) && !rounds.exists(_.hi == 32)) (8, 32)
             else if (ec0 >= 7.0 && !starvedAt(8)) (2, 8)
             else (1, 4)
           // single-thread canary before / between / after the two children:
