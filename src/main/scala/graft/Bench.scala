@@ -482,28 +482,24 @@ object Bench {
           }
           // the sustained probe measures COMPUTE capacity, but children can
           // still be starved below it by lock-holder preemption (their
-          // self-measured consumption decides validity) — so pick the pair
-          // one notch below what the probe suggests when prior rounds of a
-          // wider pair kept failing the consumption check
-          // either child starving marks the pair: a starved LO child
-          // biases the ratio just as fatally as a starved HI one
-          val starvedAt = rounds.filter(rd => !rd.valid &&
-              (rd.uHi < rd.hi * 0.6 || rd.uLo < rd.lo * 0.6))
-            .map(_.hi).toSet
+          // self-measured consumption decides validity).
           // Pair policy, informed by the standing hunt's archive on this
           // host (355 rounds): (8,32) passed the consumption gate 0/141
           // times — lock-holder preemption caps pinned multi-thread JVMs
           // at ~5-11 consumed cores regardless of the probe's reading — so
           // it gets at most ONE attempt per run and only on a very strong
           // probe; (1,4) was valid 108/161 (67%) and is where every >=0.8
-          // capture lives. After ANY starved round, drop straight to (1,4)
-          // (the intermediate notch burned round 2+3 of the 600 s budget
-          // in earlier artifacts without ever validating mid-throttle).
-          val anyStarved = starvedAt.nonEmpty
+          // capture lives. After ANY invalid round — starvation OR a
+          // flatness/capacity failure while children consume 60%+ but
+          // crawl — drop straight to (1,4): it is both the cheapest round
+          // and the likeliest to validate, so the rest of the budget goes
+          // where validity is reachable (wide rounds burned the whole
+          // 600 s in the r4/r5 artifacts without ever validating).
+          val anyInvalid = rounds.exists(!_.valid)
           val (lo, hi) =
-            if (anyStarved) (1, 4)
-            else if (ec0 >= 30.0 && !starvedAt(32) && !rounds.exists(_.hi == 32)) (8, 32)
-            else if (ec0 >= 7.0 && !starvedAt(8)) (2, 8)
+            if (anyInvalid) (1, 4)
+            else if (ec0 >= 30.0 && !rounds.exists(_.hi == 32)) (8, 32)
+            else if (ec0 >= 7.0) (2, 8)
             else (1, 4)
           // single-thread canary before / between / after the two children:
           // a per-core speed flip BETWEEN the children invalidates the ratio.
