@@ -232,10 +232,21 @@ object Bench {
     // (observed 20x) without tripping burst canaries or consumption
     def speedFlat: Boolean =
       sr1.nonEmpty && sr1.min > 0 && sr1.max / sr1.min <= 1.3
+    // tear detector: when the round is a fair measurement, the two
+    // children's docs-per-consumed-CPU-second agree to well within 3x —
+    // across the 114 archived VALID rounds on this host effCpu sits in
+    // [0.6, 1.2] (re-checked against the archive: this gate rejects none
+    // of them). A mid-round host tear can slip past every other gate
+    // (anchors at the 1.3 boundary, consumption 70%+) while one child
+    // burns its cores on preempted locks/GC making no progress — observed
+    // effCpu 0.03, i.e. 20x below the archive floor. Both sides bounded,
+    // so superlinear tears are rejected symmetrically; the raw eff is
+    // never gated on, only cross-child consistency.
+    def cpuRateConsistent: Boolean = effCpu >= (1.0 / 3) && effCpu <= 3.0
     def quiet: Boolean = capacityHeld && coresConsumed && speedFlat &&
-      cs.forall(_ < QuietS)
+      cpuRateConsistent && cs.forall(_ < QuietS)
     def valid: Boolean = capacityHeld && coresConsumed && speedFlat &&
-      cs.max <= 0.15 && cs.max / cs.min <= 1.3
+      cpuRateConsistent && cs.max <= 0.15 && cs.max / cs.min <= 1.3
     def json: String =
       s"""{"pair":[$lo,$hi],"d_lo":${dLo.round},"d_hi":${dHi.round},"eff":${"%.3f".format(eff)},"eff_per_consumed_core":${"%.3f".format(effCpu)},"quiet":$quiet,"valid":$valid,"canary_sec":${cs.map(c => "%.4f".format(c)).mkString("[", ",", "]")},"effective_cores":${ec.map(c => "%.1f".format(c)).mkString("[", ",", "]")},"cpus_used":[${"%.1f".format(uLo)},${"%.1f".format(uHi)}],"sustained_rate_1t":${sr1.map(c => "%.1f".format(c)).mkString("[", ",", "]")}}"""
   }
