@@ -46,6 +46,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("bh") === viaApi)
   }
 
+  test("vec_dot / canonicalize_url / url_key callable from SQL, agree with the Column API") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(array(CAST(1.5 AS FLOAT), CAST(-2.0 AS FLOAT)),
+        |               array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d,
+        |       canonicalize_url('HTTP://User@Example.COM:80/a?b=2&a=1#frag') AS cu,
+        |       url_key('HTTP://User@Example.COM:80/a?b=2&a=1#frag') AS k,
+        |       canonicalize_url('not a url') AS passthru
+        |""".stripMargin).collect().head
+    assert(r.getAs[Double]("d") === 1.5 * 2.0 + (-2.0) * 0.5)
+    assert(r.getAs[String]("cu") === "http://User@example.com/a?a=1&b=2")
+    assert(r.getAs[String]("passthru") === "not a url")
+    val viaApi = {
+      import org.apache.spark.sql.functions._
+      spark.range(1).select(graft.functions.UrlFunctions.urlKey(
+        lit("HTTP://User@Example.COM:80/a?b=2&a=1#frag")).as("k"))
+        .collect().head.getLong(0)
+    }
+    assert(r.getAs[Long]("k") === viaApi)
+  }
+
   test("non-literal optional parameter rejected at analysis with a clear message") {
     GraftFunctions.registerAll(spark)
     val ex = intercept[Exception] {
