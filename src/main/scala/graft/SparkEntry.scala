@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -100,6 +100,21 @@ object SparkEntry {
   // explicit class below is Java-\s-identical and parses the same in RE2.
   private val Ws = """[ \t\n\x0B\f\r]"""
   private val NonWs = """[^ \t\n\x0B\f\r]"""
+
+  // Deterministic doc-derived hostnames with deliberate skew: half the
+  // corpus lands on one hot host (real crawls are this skewed), the rest
+  // fans out over ~194 subdomains of two registrable domains. The oracle
+  // mirrors the derivation CASE-for-CASE.
+  private def synthHost(d: Column): Column =
+    when(pmod(d, lit(2)) === 0, lit("big.news.example.com"))
+      .otherwise(concat(lit("h"), pmod(d, lit(97)).cast("string"), lit("."),
+        when(pmod(d, lit(3)) === 0, lit("blog.example.org"))
+          .otherwise(lit("shop.example.net"))))
+  private val synthHostSql: String =
+    "CASE WHEN doc_id % 2 = 0 THEN 'big.news.example.com' " +
+      "ELSE 'h' || CAST(doc_id % 97 AS VARCHAR) || '.' || " +
+      "CASE WHEN doc_id % 3 = 0 THEN 'blog.example.org' " +
+      "ELSE 'shop.example.net' END END"
 
   // GPT-2-ish piece pattern without lookahead (RE2 has none): contractions,
   // optional-space letter runs, digit runs, punctuation runs, whitespace runs.
@@ -364,6 +379,29 @@ object SparkEntry {
     // ----- Gopher §A.1.1 repetition rules (within-document, codegen) -----
     "q_gopher_rep" -> ((s, dir) =>
       graft.operators.QualityFilters.gopherRepetitionFlags(tbl(s, dir, "documents"))
+        .orderBy("doc_id")),
+    // ----- per-host crawl profile with explicit skew handling: the hot
+    //       host (half the corpus by construction) pre-shards across
+    //       (host, source) groups before the final per-host combine -----
+    "q_host_stats" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(synthHost(col("doc_id")).as("host"), col("source"), col("n_chars"))
+      graft.operators.CorpusStats.hostProfile(docs).orderBy("host")
+    }),
+    // ----- UT1/RefinedWeb-style URL blocklist verdicts: suffix-set
+    //       explode turns subdomain matching into a broadcast equality
+    //       join ("example.com" blocks every subdomain) -----
+    "q_url_blocklist" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), synthHost(col("doc_id")).as("host"))
+      graft.operators.CorpusStats.blockFlags(docs,
+          blocked = Seq("example.com", "h7.blog.example.org"))
+        .orderBy("doc_id")
+    }),
+    // ----- corpus-frequency rare-token quality (two-pass, hash-keyed
+    //       shuffles; integer-exact analog of CCNet rarity bucketing) -----
+    "q_rare_tokens" -> ((s, dir) =>
+      graft.operators.CorpusStats.rareTokenStats(tbl(s, dir, "documents"))
         .orderBy("doc_id")),
     // ----- MinHash near-dup detection (planted dups; LSH band join) -----
     "q_minhash_pairs" -> ((s, dir) => {
@@ -768,6 +806,33 @@ object SparkEntry {
       """FROM r ORDER BY doc_id"""),
     "q_salt_distribution" ->
       "SELECT (doc_id * 2654435761) % 4294967296 % 64 AS salt, count(*) AS n FROM documents GROUP BY 1 ORDER BY salt",
+    // host derivation mirrored CASE-for-CASE; counts/sums cast to BIGINT
+    "q_host_stats" ->
+      (s"WITH h AS (SELECT $synthHostSql AS host, source, n_chars FROM documents) " +
+        "SELECT host, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(count(DISTINCT source) AS BIGINT) AS n_sources, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM h GROUP BY host ORDER BY host"),
+    // suffix set via list_slice over dot-split labels; blocked = any
+    // suffix intersects the blocklist (same semantics as the exploded
+    // equality join on the Spark side)
+    "q_url_blocklist" ->
+      (s"WITH h AS (SELECT doc_id, $synthHostSql AS host FROM documents) " +
+        "SELECT doc_id, host, CASE WHEN len(list_intersect(" +
+        "list_transform(generate_series(1, len(str_split(host, '.'))), " +
+        "i -> array_to_string(list_slice(str_split(host, '.'), i, len(str_split(host, '.'))), '.')), " +
+        "['example.com', 'h7.blog.example.org'])) > 0 THEN 1 ELSE 0 END AS blocked " +
+        "FROM h ORDER BY doc_id"),
+    // two-pass corpus token counts joined back per doc; zero-token docs
+    // survive via the LEFT JOIN; threshold integer cross-multiplied
+    "q_rare_tokens" ->
+      (s"WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$NonWs+')) AS tok FROM documents), " +
+        "c AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok), " +
+        "p AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(CASE WHEN c.cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare FROM tok t JOIN c USING (tok) GROUP BY t.doc_id) " +
+        "SELECT d.doc_id, CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens, " +
+        "CAST(coalesce(p.n_rare, 0) AS BIGINT) AS n_rare_tokens, " +
+        "CASE WHEN coalesce(p.n_rare, 0) * 5 <= coalesce(p.n_tokens, 0) THEN 1 ELSE 0 END AS ok_rare " +
+        "FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id"),
     "q_tpch_q1" ->
       "SELECT l_returnflag, l_linestatus, count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents FROM lineitem WHERE l_shipdate <= '1998-09-02' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q_top_customers" ->

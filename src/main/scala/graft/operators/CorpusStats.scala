@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-level statistics and URL-policy operators for a web-crawl
+ * pipeline — the per-host bookkeeping a 100 TB crawl needs around the
+ * extraction kernel (the reference keys everything on the bare url,
+ * /root/reference/src/queue.py:24-33, and has no host-level view at all;
+ * these are the standard aggregations a distributed crawl adds first).
+ *
+ * Scale notes (100 TB):
+ *  - hostProfile aggregates in TWO phases keyed on (host, source) first,
+ *    so a hot host (a few domains hold double-digit percent of any real
+ *    crawl) is split across many groups before the final per-host
+ *    combine. The distinct-count never builds a per-host set: phase one
+ *    dedups (host, source) pairs with map-side partial aggregation,
+ *    phase two just counts rows. Both shuffles move tiny aggregate rows.
+ *  - blockFlags joins the corpus against a blocklist by EQUALITY on
+ *    exploded host suffixes (a host has at most label-count suffixes,
+ *    ~4-6), so suffix matching is a broadcast hash join — never a LIKE
+ *    scan or a cartesian theta-join. Blocklists (UT1-style) are
+ *    config-sized: always broadcastable.
+ *  - rareTokenStats is the two-pass corpus-frequency shape (count
+ *    tokens corpus-wide, join the verdict back): both shuffles are keyed
+ *    on xxhash64(token) — 8-byte keys, the token text never shuffles —
+ *    and partial aggregation combines map-side, the same discipline as
+ *    QualityFilters.lineDedupStats.
+ */
+object CorpusStats {
+
+  /**
+   * Per-host crawl profile with explicit skew handling: doc count,
+   * distinct sources, total chars. Two-phase aggregation — phase one
+   * groups by (host, source) which both pre-shards hot hosts and dedups
+   * the distinct-count domain; phase two combines per host. Output is
+   * integer-only (counts and BIGINT sums): exact and engine-portable.
+   */
+  def hostProfile(df: DataFrame, hostCol: String = "host",
+                  srcCol: String = "source",
+                  charsCol: String = "n_chars"): DataFrame = {
+    val phase1 = df
+      .groupBy(col(hostCol), col(srcCol))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(charsCol).cast("long")).as("chars"))
+    phase1
+      .groupBy(col(hostCol))
+      .agg(sum(col("cnt")).cast("long").as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        sum(col("chars")).cast("long").as("sum_chars"))
+  }
+
+  /** All dot-boundary suffixes of a hostname, longest first:
+    * "a.b.example.com" -> ["a.b.example.com", "b.example.com",
+    * "example.com", "com"]. Pure codegen built-ins. */
+  def hostSuffixes(host: Column): Column = {
+    val parts = split(host, "\\.")
+    transform(sequence(lit(1), size(parts)),
+      i => array_join(slice(parts, i, size(parts)), "."))
+  }
+
+  /**
+   * URL blocklist verdicts (RefinedWeb/UT1-style domain filtering): a
+   * row is blocked when ANY dot-suffix of its host equals a blocklist
+   * entry, so blocking "example.com" blocks every subdomain. The
+   * suffix-set explode turns suffix matching into an equality join the
+   * engine broadcasts; the blocked id set dedups before joining back.
+   * Output: (idCol, hostCol, blocked 0/1).
+   */
+  def blockFlags(df: DataFrame, hostCol: String = "host",
+                 idCol: String = "doc_id",
+                 blocked: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bl = blocked.toDF("sfx")
+    val blockedIds = df
+      .select(col(idCol), explode(hostSuffixes(col(hostCol))).as("sfx"))
+      .join(broadcast(bl), "sfx")
+      .select(col(idCol)).distinct()
+      .withColumn("blocked", lit(1))
+    df.join(blockedIds, Seq(idCol), "left")
+      .select(col(idCol), col(hostCol),
+        coalesce(col("blocked"), lit(0)).as("blocked"))
+  }
+
+  /**
+   * Corpus-frequency rare-token quality score (the integer-exact analog
+   * of CCNet's LM-based rarity bucketing): pass one counts every token
+   * corpus-wide; pass two joins the counts back and reports, per
+   * document, total tokens and tokens whose corpus count is <= rareMax
+   * (misspellings, junk, boilerplate ids). A document is kept
+   * (ok_rare=1) when rare tokens are at most 20% of its tokens —
+   * integer cross-multiplied, never a float ratio. Documents with zero
+   * tokens survive the explode via the left join back (0, 0, keep).
+   */
+  def rareTokenStats(df: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id",
+                     rareMax: Long = 2L): DataFrame = {
+    // hash in the scan projection: both shuffles move the 8-byte hash,
+    // never the token text (collision odds ~n^2/2^65 — the accepted
+    // standard shared by the minhash band hash and line dedup)
+    val toks = df
+      .select(col(idCol),
+        explode(QualityFilters.words(lower(col(textCol)))).as("tok"))
+      .select(col(idCol), xxhash64(col("tok")).as("tok_h"))
+    val counts = toks.groupBy(col("tok_h")).agg(count(lit(1)).as("cnt"))
+    val rare = counts.filter(col("cnt") <= rareMax)
+      .select(col("tok_h"), lit(1).as("rare"))
+    val perDoc = toks.join(rare, Seq("tok_h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("rare"), lit(0))).cast("long").as("n_rare"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare_tokens"))
+      .withColumn("ok_rare",
+        (col("n_rare_tokens") * 5 <= col("n_tokens")).cast("int"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+class CorpusStatsSpec extends AnyFunSuite {
+
+  private implicit lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("corpusstats")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // ---------------------------------------------------------- hostProfile
+  test("hostProfile: counts, distinct sources, char sums per host") {
+    val df = Seq(
+      ("a.com", "s1", 10L), ("a.com", "s1", 20L), ("a.com", "s2", 30L),
+      ("b.org", "s1", 5L)
+    ).toDF("host", "source", "n_chars")
+    val out = CorpusStats.hostProfile(df).orderBy("host").collect()
+    assert(out.length === 2)
+    val a = out(0)
+    assert(a.getString(0) === "a.com")
+    assert(a.getLong(1) === 3L)  // n_docs
+    assert(a.getLong(2) === 2L)  // n_sources
+    assert(a.getLong(3) === 60L) // sum_chars
+    val b = out(1)
+    assert(b.getLong(1) === 1L && b.getLong(2) === 1L && b.getLong(3) === 5L)
+  }
+
+  test("hostProfile: hot-host skew pre-shards across (host, source) groups") {
+    // one host carrying 90% of rows across many sources must still come
+    // out as one combined row with an exact distinct-source count
+    val rows = (0 until 900).map(i => ("hot.com", s"s${i % 37}", 1L)) ++
+      (0 until 100).map(i => (s"cold$i.com", "s0", 1L))
+    val out = CorpusStats.hostProfile(rows.toDF("host", "source", "n_chars"))
+    val hot = out.filter(col("host") === "hot.com").collect()(0)
+    assert(hot.getLong(1) === 900L && hot.getLong(2) === 37L)
+    assert(out.count() === 101L)
+  }
+
+  // ----------------------------------------------------------- blockFlags
+  test("hostSuffixes: dot-boundary suffixes, longest first") {
+    val out = spark.range(1).select(
+      CorpusStats.hostSuffixes(lit("a.b.example.com")).as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(out === Seq("a.b.example.com", "b.example.com", "example.com", "com"))
+  }
+
+  test("blockFlags: suffix entry blocks every subdomain, exact entry only itself") {
+    val docs = Seq(
+      (1L, "www.bad.com"), (2L, "cdn.bad.com"), (3L, "bad.com"),
+      (4L, "notbad.com"), (5L, "exact.host.net"), (6L, "sub.exact.host.net"),
+      (7L, "good.org")
+    ).toDF("doc_id", "host")
+    val out = CorpusStats.blockFlags(docs,
+        blocked = Seq("bad.com", "sub.exact.host.net"))
+      .orderBy("doc_id").collect()
+    val flags = out.map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(flags === Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 0, 5L -> 0,
+      6L -> 1, 7L -> 0))
+  }
+
+  test("blockFlags: blocklist side of the join is broadcast") {
+    val docs = Seq((1L, "x.com")).toDF("doc_id", "host")
+    val plan = CorpusStats.blockFlags(docs, blocked = Seq("x.com"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
+
+  // ------------------------------------------------------- rareTokenStats
+  test("rareTokenStats: corpus-wide counts decide rarity; zero-token docs survive") {
+    val docs = Seq(
+      (1L, "common common common rare1"),
+      (2L, "common common rare2 rare3"),
+      (3L, ""),
+      (4L, "common")
+    ).toDF("doc_id", "text")
+    // corpus counts: common=6, rare1=1, rare2=1, rare3=1 (rareMax=2)
+    val out = CorpusStats.rareTokenStats(docs).orderBy("doc_id").collect()
+    val byId = out.map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(byId(1L) === ((4L, 1L, 0)))   // 1/4 rare > 20% -> reject
+    assert(byId(2L) === ((4L, 2L, 0)))   // 2/4 rare -> reject
+    assert(byId(3L) === ((0L, 0L, 1)))   // empty doc: 0 tokens, keep
+    assert(byId(4L) === ((1L, 0L, 1)))   // all common -> keep
+  }
+
+  test("rareTokenStats: tokens are lowercased before counting") {
+    val docs = Seq((1L, "Word word WORD"), (2L, "word")).toDF("doc_id", "text")
+    // all four occurrences collapse to "word" (count 4 > rareMax)
+    val out = CorpusStats.rareTokenStats(docs).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(0L, 0L))
+    assert(out.map(_.getInt(3)).toSeq === Seq(1, 1))
+  }
+}
