@@ -403,6 +403,30 @@ object SparkEntry {
     "q_rare_tokens" -> ((s, dir) =>
       graft.operators.CorpusStats.rareTokenStats(tbl(s, dir, "documents"))
         .orderBy("doc_id")),
+    // ----- C4-style page cleaning over deterministically decorated
+    //       multi-line text (same fixture idiom as q_line_shape): line
+    //       keep rules + lorem/brace/sentence page rules + clean_text -----
+    "q_c4_rules" -> ((s, dir) => {
+      val chunked = graft.operators.QualityFilters.derivedLines(col("text"))
+      val decorated = transform(chunked, (l, i) => {
+        val k = col("doc_id") + i
+        when(pmod(k, lit(3)) === 0, concat(l, lit(".")))
+          .when(pmod(k, lit(7)) === 1, concat(l, lit(" javascript.")))
+          .when(pmod(k, lit(11)) === 2 && pmod(col("doc_id"), lit(5)) === 1,
+            concat(l, lit(" lorem ipsum!")))
+          .when(pmod(k, lit(13)) === 3 && pmod(col("doc_id"), lit(5)) === 2,
+            concat(l, lit(" {x}.")))
+          .otherwise(l)
+      })
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), array_join(decorated, "\n").as("mtext"))
+      graft.operators.QualityFilters.c4Flags(docs, "mtext").orderBy("doc_id")
+    }),
+    // ----- gap-based sessionization of the event stream (30-min gap,
+    //       integer-microsecond arithmetic, one shuffle total) -----
+    "q_sessionize" -> ((s, dir) =>
+      graft.operators.Sessionize.sessionStats(tbl(s, dir, "events"))
+        .orderBy("user_id", "session_idx")),
     // ----- MinHash near-dup detection (planted dups; LSH band join) -----
     "q_minhash_pairs" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -833,6 +857,50 @@ object SparkEntry {
         "CAST(coalesce(p.n_rare, 0) AS BIGINT) AS n_rare_tokens, " +
         "CASE WHEN coalesce(p.n_rare, 0) * 5 <= coalesce(p.n_tokens, 0) THEN 1 ELSE 0 END AS ok_rare " +
         "FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id"),
+    // decorated-line fixture mirrored CASE-for-CASE (same idiom as
+    // q_line_shape); line keep predicate and sentence count mirrored
+    // function-for-function; regexp_replace needs the 'g' flag (DuckDB
+    // replaces first match by default, Spark replaces all)
+    "q_c4_rules" -> {
+      val base = "array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' ')"
+      val keptPred = s"regexp_matches(x, '[.!?\"]$$') AND " +
+        s"len(regexp_extract_all(x, '$NonWs+')) >= 5 AND " +
+        "NOT contains(lower(x), 'javascript')"
+      val sentSum = "coalesce(list_sum(list_transform(kept, " +
+        "x -> len(x) - len(regexp_replace(x, '[.!?]', '', 'g')))), 0)"
+      s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '$NonWs+') AS w FROM documents), """ +
+        """d AS (SELECT doc_id, list_transform(generate_series(0, (len(w) + 7) // 8 - 1), i -> """ +
+        s"""CASE WHEN (doc_id + i) % 3 = 0 THEN $base || '.' """ +
+        s"""WHEN (doc_id + i) % 7 = 1 THEN $base || ' javascript.' """ +
+        s"""WHEN (doc_id + i) % 11 = 2 AND doc_id % 5 = 1 THEN $base || ' lorem ipsum!' """ +
+        s"""WHEN (doc_id + i) % 13 = 3 AND doc_id % 5 = 2 THEN $base || ' {x}.' """ +
+        s"""ELSE $base END) AS lines FROM w), """ +
+        """m AS (SELECT doc_id, array_to_string(lines, chr(10)) AS mtext FROM d), """ +
+        """l AS (SELECT doc_id, mtext, str_split(mtext, chr(10)) AS ls FROM m), """ +
+        s"""k AS (SELECT doc_id, mtext, ls, list_filter(ls, x -> $keptPred) AS kept FROM l) """ +
+        """SELECT doc_id, len(ls) AS n_lines, len(kept) AS n_kept_lines, """ +
+        s"""CAST($sentSum AS INT) AS n_sentences, """ +
+        """CASE WHEN contains(lower(mtext), 'lorem ipsum') THEN 1 ELSE 0 END AS has_lorem, """ +
+        """CASE WHEN contains(mtext, '{') THEN 1 ELSE 0 END AS has_brace, """ +
+        """coalesce(array_to_string(kept, chr(10)), '') AS clean_text, """ +
+        s"""CASE WHEN $sentSum >= 3 AND NOT contains(lower(mtext), 'lorem ipsum') """ +
+        """AND NOT contains(mtext, '{') THEN 1 ELSE 0 END AS keep """ +
+        """FROM k ORDER BY doc_id"""
+    },
+    // identical window spec both sides: PARTITION BY user ORDER BY
+    // (ts_us, event_id) with ROWS UNBOUNDED PRECEDING; integer
+    // epoch-microseconds only — never float seconds
+    "q_sessionize" ->
+      ("WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events), " +
+        "f AS (SELECT user_id, event_id, ts_us, CASE WHEN lag(ts_us) OVER " +
+        "(PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL OR ts_us - lag(ts_us) OVER " +
+        "(PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM e), " +
+        "s AS (SELECT user_id, ts_us, CAST(sum(new_s) OVER (PARTITION BY user_id " +
+        "ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM f) " +
+        "SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events, " +
+        "min(ts_us) AS start_us, max(ts_us) AS end_us, " +
+        "max(ts_us) - min(ts_us) AS duration_us FROM s " +
+        "GROUP BY user_id, session_idx ORDER BY user_id, session_idx"),
     "q_tpch_q1" ->
       "SELECT l_returnflag, l_linestatus, count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents FROM lineitem WHERE l_shipdate <= '1998-09-02' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q_top_customers" ->

@@ -262,6 +262,50 @@ object QualityFilters {
   }
 
   /**
+   * C4-style page cleaning verdicts (Raffel et al. 2020 §2.2,
+   * reimplemented from the published description — structure only, no
+   * external code). Line rules: keep a line only if it ends in a
+   * terminal punctuation mark ('.', '!', '?', '"'), has at least five
+   * words, and does not contain the word "javascript". Page rules: drop
+   * any page containing "lorem ipsum" or a curly brace, and any page
+   * whose KEPT lines carry fewer than three sentences (sentence count =
+   * terminal '.'/'!'/'?' occurrences in kept lines — the deterministic
+   * integer analog of the paper's sentence splitter, documented
+   * deviation). `clean_text` is the kept lines re-joined — the actual
+   * C4 output artifact, byte-comparable across engines.
+   *
+   * Scale: pure per-document column expressions (array HOFs over the
+   * '\n' split) — no shuffle, no UDF; computes inside the scan
+   * projection. The rejected pages and dropped lines of a 100 TB corpus
+   * never materialize downstream.
+   */
+  def c4Flags(df: DataFrame, textCol: String = "text",
+              idCol: String = "doc_id"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]$") &&
+        size(regexp_extract_all(l, lit(NonWs + "+"), lit(0))) >= 5 &&
+        !lower(l).contains("javascript"))
+    // staged once: the HOFs are interpreted, so shared inputs live in
+    // their own Project (same discipline as gopherRepetitionFlags)
+    val staged = df.select(col(idCol), col(textCol).as("t"),
+      lines.as("ls"), kept.as("kept"))
+    staged.select(
+        col(idCol),
+        size(col("ls")).as("n_lines"),
+        size(col("kept")).as("n_kept_lines"),
+        aggregate(col("kept"), lit(0), (a, l) =>
+          a + (length(l) - length(regexp_replace(l, "[.!?]", ""))))
+          .as("n_sentences"),
+        lower(col("t")).contains("lorem ipsum").cast("int").as("has_lorem"),
+        col("t").contains("{").cast("int").as("has_brace"),
+        array_join(col("kept"), "\n").as("clean_text"))
+      .withColumn("keep",
+        (col("n_sentences") >= 3 && col("has_lorem") === 0 &&
+          col("has_brace") === 0).cast("int"))
+  }
+
+  /**
    * Corpus-wide line-level dedup stats: per document, how many of its
    * lines occur more than once across the whole corpus (counting every
    * occurrence, including repeats inside one document).

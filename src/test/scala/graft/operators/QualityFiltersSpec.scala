@@ -150,6 +150,39 @@ class QualityFiltersSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
   }
 
+  test("c4Flags: line keep rules, page flags, sentence floor, clean_text") {
+    import spark.implicits._
+    val page1 =
+      "This line has five good words." + "\n" +  // kept, 6 words, 1 sentence
+      "Too short."                      + "\n" +  // dropped: < 5 words
+      "No terminal punctuation here at all" + "\n" + // dropped: no [.!?"] end
+      "Enable javascript to view this content." + "\n" + // dropped: javascript
+      "Quoted lines also count as terminal \"" + "\n" +  // kept, 0 sentences
+      "Two sentences live here. Yes they do!"             // kept, 2 sentences
+    val page2 = "A lorem ipsum page with five words."     // lorem -> reject
+    val page3 = "A curly { brace page with six words."    // brace -> reject
+    val page4 = "One sentence only but five words."       // < 3 sentences -> reject
+    val docs = Seq((1L, page1), (2L, page2), (3L, page3), (4L, page4))
+      .toDF("doc_id", "text")
+    val out = QualityFilters.c4Flags(docs).orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getInt(1) === 6 && r1.getInt(2) === 3)       // n_lines, n_kept
+    assert(r1.getInt(3) === 3)                             // sentences: 1+0+2
+    assert(r1.getInt(4) === 0 && r1.getInt(5) === 0)       // no lorem/brace
+    assert(r1.getString(6) ===
+      "This line has five good words.\n" +
+      "Quoted lines also count as terminal \"\n" +
+      "Two sentences live here. Yes they do!")
+    assert(r1.getInt(7) === 1)                             // keep
+    assert(out(1).getInt(4) === 1 && out(1).getInt(7) === 0) // lorem
+    assert(out(2).getInt(5) === 1 && out(2).getInt(7) === 0) // brace
+    assert(out(3).getInt(3) === 1 && out(3).getInt(7) === 0) // sentence floor
+
+    // no shuffle, no UDF
+    val plan = QualityFilters.c4Flags(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("ScalaUDF"), plan)
+  }
+
   test("line dedup: corpus-wide duplicate chunks counted per document") {
     import spark.implicits._
     val shared = (1 to 8).map(i => s"dup$i").mkString(" ")
