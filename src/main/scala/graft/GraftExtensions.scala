@@ -50,6 +50,8 @@ object GraftFunctions {
     "printable_ratio" -> { es => need(es, Set(1), "printable_ratio"); PrintableRatio(es.head) },
     "text_quality" -> { es => need(es, Set(1), "text_quality"); TextQuality(es.head) },
     "lang_id_ngram" -> { es => need(es, Set(1), "lang_id_ngram"); LangIdNgram(es.head) },
+    "nfc_normalize" -> { es => need(es, Set(1), "nfc_normalize"); NfcNormalize(es.head) },
+    "nfkc_normalize" -> { es => need(es, Set(1), "nfkc_normalize"); NfkcNormalize(es.head) },
     "simhash64" -> { es => need(es, Set(1), "simhash64"); SimHash64(es.head) },
     "minhash_signature" -> { es =>
       need(es, Set(1, 4), "minhash_signature")

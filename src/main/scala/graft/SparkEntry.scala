@@ -39,13 +39,15 @@ object SparkEntry {
       docs.repartition(files, pmod(col("doc_id"), lit(files)))
         .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
           val pid = org.apache.spark.TaskContext.getPartitionId()
-          val recs = it.map { r =>
-            val id = r.getLong(0)
-            (s"doc://$id",
-              java.time.Instant.parse("2026-01-01T00:00:00Z").plusSeconds(id).toString,
-              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          }.toVector
-          if (recs.nonEmpty) {
+          // stream rows straight into the writer — the partition never
+          // materializes (writeWarc traverses its records exactly once)
+          if (it.hasNext) {
+            val recs = it.map { r =>
+              val id = r.getLong(0)
+              (s"doc://$id",
+                java.time.Instant.parse("2026-01-01T00:00:00Z").plusSeconds(id).toString,
+                r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
             val gz = index || httpGz || pid % 2 == 1
             val name = s"part-$pid.warc" + (if (gz) ".gz" else "")
             graft.sources.warc.WarcFixtures.writeWarc(
@@ -427,6 +429,26 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       graft.operators.Sessionize.sessionStats(tbl(s, dir, "events"))
         .orderBy("user_id", "session_idx")),
+    // ----- Unicode NFC normalization (native codegen expression; JDK and
+    //       ICU both implement UAX #15, so outputs are byte-identical):
+    //       a third of docs get decomposed combining sequences appended,
+    //       a third get the precomposed spellings (already NFC) -----
+    "q_nfc_norm" -> ((s, dir) => {
+      val deco = concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit(" café über Ångström"))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            lit(" café über Ångström"))
+          .otherwise(lit("")))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), deco.as("t"))
+        .select(col("doc_id"),
+          TextFunctions.nfc_normalize(col("t")).as("norm_text"),
+          (TextFunctions.nfc_normalize(col("t")) =!= col("t")).cast("int")
+            .as("changed"),
+          length(TextFunctions.nfc_normalize(col("t"))).as("n_cp"))
+        .orderBy("doc_id")
+    }),
     // ----- MinHash near-dup detection (planted dups; LSH band join) -----
     "q_minhash_pairs" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -887,6 +909,19 @@ object SparkEntry {
         """AND NOT contains(mtext, '{') THEN 1 ELSE 0 END AS keep """ +
         """FROM k ORDER BY doc_id"""
     },
+    // decorations rebuilt with chr() so the decomposed-vs-precomposed
+    // spellings are unambiguous; DuckDB's ICU and the JVM's Normalizer
+    // both implement UAX #15 NFC — byte-identical outputs
+    "q_nfc_norm" ->
+      ("WITH t AS (SELECT doc_id, text || CASE " +
+        "WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) || ' u' || chr(776) || " +
+        "'ber A' || chr(778) || 'ngstro' || chr(776) || 'm' " +
+        "WHEN doc_id % 3 = 1 THEN ' caf' || chr(233) || ' ' || chr(252) || " +
+        "'ber ' || chr(197) || 'ngstr' || chr(246) || 'm' " +
+        "ELSE '' END AS t FROM documents) " +
+        "SELECT doc_id, nfc_normalize(t) AS norm_text, " +
+        "CASE WHEN nfc_normalize(t) <> t THEN 1 ELSE 0 END AS changed, " +
+        "CAST(length(nfc_normalize(t)) AS INT) AS n_cp FROM t ORDER BY doc_id"),
     // identical window spec both sides: PARTITION BY user ORDER BY
     // (ts_us, event_id) with ROWS UNBOUNDED PRECEDING; integer
     // epoch-microseconds only — never float seconds

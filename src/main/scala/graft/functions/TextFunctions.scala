@@ -31,6 +31,20 @@ object TextExprs {
   def qualityStr(s: UTF8String): Double = QualityScore.computeQuality(s.toString)
   def langIdNgram(s: UTF8String): UTF8String =
     UTF8String.fromString(graft.kernel.LangId.detect(s.toString))
+  def nfcUTF8(s: UTF8String): UTF8String = {
+    val t = s.toString
+    // fast path: already-normalized (all ASCII in particular) returns the
+    // input UTF8String untouched — no allocation on the common case
+    if (java.text.Normalizer.isNormalized(t, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC))
+  }
+  def nfkcUTF8(s: UTF8String): UTF8String = {
+    val t = s.toString
+    if (java.text.Normalizer.isNormalized(t, java.text.Normalizer.Form.NFKC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFKC))
+  }
 }
 
 abstract class StringKernelExpr extends UnaryExpression {
@@ -80,11 +94,35 @@ case class LangIdNgram(child: Expression) extends StringKernelExpr {
   override def prettyName: String = "lang_id_ngram"
 }
 
+/** nfc_normalize(s): Unicode NFC (UAX #15) — canonical composition; the
+  * standard first step of webtext cleanup (two byte-spellings of "é"
+  * must dedup/fingerprint/tokenize identically). Fast no-alloc path for
+  * already-normalized (e.g. pure-ASCII) input. */
+case class NfcNormalize(child: Expression) extends StringKernelExpr {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = TextExprs.nfcUTF8(v.asInstanceOf[UTF8String])
+  override protected def staticCall = "graft.functions.TextExprs.nfcUTF8"
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(child = c)
+  override def prettyName: String = "nfc_normalize"
+}
+
+/** nfkc_normalize(s): Unicode NFKC — compatibility composition (also
+  * folds ligatures, fullwidth forms, superscripts). */
+case class NfkcNormalize(child: Expression) extends StringKernelExpr {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = TextExprs.nfkcUTF8(v.asInstanceOf[UTF8String])
+  override protected def staticCall = "graft.functions.TextExprs.nfkcUTF8"
+  override protected def withNewChildInternal(c: Expression): NfkcNormalize = copy(child = c)
+  override def prettyName: String = "nfkc_normalize"
+}
+
 object TextFunctions {
   def sanitize_text(c: Column): Column = ColumnBridge.column(SanitizeText(ColumnBridge.expression(c)))
   def printable_ratio(c: Column): Column = ColumnBridge.column(PrintableRatio(ColumnBridge.expression(c)))
   def text_quality(c: Column): Column = ColumnBridge.column(TextQuality(ColumnBridge.expression(c)))
   def lang_id_ngram(c: Column): Column = ColumnBridge.column(LangIdNgram(ColumnBridge.expression(c)))
+  def nfc_normalize(c: Column): Column = ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
+  def nfkc_normalize(c: Column): Column = ColumnBridge.column(NfkcNormalize(ColumnBridge.expression(c)))
 
   /** SQL registration: SELECT sanitize_text(text) ... */
   def register(spark: SparkSession): Unit = {
@@ -93,5 +131,7 @@ object TextFunctions {
     reg.createOrReplaceTempFunction("printable_ratio", es => PrintableRatio(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("text_quality", es => TextQuality(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("lang_id_ngram", es => LangIdNgram(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_normalize", es => NfcNormalize(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("nfkc_normalize", es => NfkcNormalize(es.head), "scala_udf")
   }
 }

@@ -428,14 +428,14 @@ package warc {
     * have. */
   object WarcFixtures {
     def writeWarc(file: java.io.File,
-                  records: Seq[(String, String, Array[Byte])],
+                  records: IterableOnce[(String, String, Array[Byte])],
                   gzip: Boolean = false,
                   httpWrap: Boolean = false,
                   index: Boolean = false): Unit = {
       import java.nio.charset.StandardCharsets.UTF_8
       val fileOut = new java.io.BufferedOutputStream(
         new java.io.FileOutputStream(file), 1 << 16)
-      records.zipWithIndex.foreach { case ((url, date, payload0), i) =>
+      records.iterator.zipWithIndex.foreach { case ((url, date, payload0), i) =>
         val payload =
           if (!httpWrap) payload0
           else {

@@ -67,6 +67,29 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("k") === viaApi)
   }
 
+  test("nfc/nfkc normalize: composition, compat folding, codegen, SQL parity") {
+    GraftFunctions.registerAll(spark)
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    // decomposed e + U+0301 composes to precomposed é; NFKC also folds the
+    // U+FB01 fi-ligature; pure-ASCII passes through unchanged
+    val df = spark.range(1).select(
+      TextFunctions.nfc_normalize(lit("café")).as("nfc"),
+      TextFunctions.nfkc_normalize(lit("éﬁn")).as("nfkc"),
+      TextFunctions.nfc_normalize(lit("plain ascii")).as("ascii"))
+    val r = df.collect().head
+    assert(r.getString(0) === "café")
+    assert(r.getString(1) === "éfin")
+    assert(r.getString(2) === "plain ascii")
+    // stays in whole-stage codegen
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    // SQL front door agrees with the Column API
+    val sqlR = spark.sql("SELECT nfc_normalize('café') AS a, " +
+      "nfkc_normalize('ﬁn') AS b").collect().head
+    assert(sqlR.getString(0) === "café" && sqlR.getString(1) === "fin")
+  }
+
   test("non-literal optional parameter rejected at analysis with a clear message") {
     GraftFunctions.registerAll(spark)
     val ex = intercept[Exception] {
