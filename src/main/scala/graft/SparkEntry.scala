@@ -449,6 +449,22 @@ object SparkEntry {
           length(TextFunctions.nfc_normalize(col("t"))).as("n_cp"))
         .orderBy("doc_id")
     }),
+    // ----- PII redaction (ROOTS/RefinedWeb-style scrub step): planted
+    //       emails/IPs/phones per doc_id mod; patterns are Java-regex-
+    //       and-RE2 identical so the oracle shares the exact strings -----
+    "q_pii_scrub" -> ((s, dir) => {
+      val deco = concat(col("text"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit(" Contact john.doe+spam@mail-server.example.co.uk now."))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            lit(" Server at 192.168.0.1 and 10.20.30.40 responded."))
+          .when(pmod(col("doc_id"), lit(4)) === 2,
+            lit(" Call +14155552671 today."))
+          .otherwise(lit("")))
+      graft.operators.PiiScrub.scrub(
+          tbl(s, dir, "documents").select(col("doc_id"), deco.as("text")))
+        .orderBy("doc_id")
+    }),
     // ----- MinHash near-dup detection (planted dups; LSH band join) -----
     "q_minhash_pairs" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -908,6 +924,24 @@ object SparkEntry {
         s"""CASE WHEN $sentSum >= 3 AND NOT contains(lower(mtext), 'lorem ipsum') """ +
         """AND NOT contains(mtext, '{') THEN 1 ELSE 0 END AS keep """ +
         """FROM k ORDER BY doc_id"""
+    },
+    // the regex constants are interpolated from PiiScrub itself — the
+    // same backslash-for-backslash strings parse identically under RE2;
+    // DuckDB regexp_replace needs the 'g' flag (Spark replaces all)
+    "q_pii_scrub" -> {
+      import graft.operators.PiiScrub.{EmailRe, Ipv4Re, PhoneRe}
+      "WITH t AS (SELECT doc_id, text || CASE " +
+        "WHEN doc_id % 4 = 0 THEN ' Contact john.doe+spam@mail-server.example.co.uk now.' " +
+        "WHEN doc_id % 4 = 1 THEN ' Server at 192.168.0.1 and 10.20.30.40 responded.' " +
+        "WHEN doc_id % 4 = 2 THEN ' Call +14155552671 today.' " +
+        "ELSE '' END AS t FROM documents) " +
+        "SELECT doc_id, " +
+        s"regexp_replace(regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'), " +
+        s"'$Ipv4Re', '<IP>', 'g'), '$PhoneRe', '<PHONE>', 'g') AS clean_text, " +
+        s"CAST(len(regexp_extract_all(t, '$EmailRe')) AS INT) AS n_emails, " +
+        s"CAST(len(regexp_extract_all(t, '$Ipv4Re')) AS INT) AS n_ips, " +
+        s"CAST(len(regexp_extract_all(t, '$PhoneRe')) AS INT) AS n_phones " +
+        "FROM t ORDER BY doc_id"
     },
     // decorations rebuilt with chr() so the decomposed-vs-precomposed
     // spellings are unambiguous; DuckDB's ICU and the JVM's Normalizer
