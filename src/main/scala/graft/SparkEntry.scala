@@ -425,9 +425,12 @@ object SparkEntry {
       graft.operators.QualityFilters.c4Flags(docs, "mtext").orderBy("doc_id")
     }),
     // ----- gap-based sessionization of the event stream (30-min gap,
-    //       integer-microsecond arithmetic, one shuffle total) -----
+    //       integer-microsecond arithmetic) — runs the SKEW-AWARE
+    //       two-level variant (pre-split by (user, time-bucket), merge
+    //       boundary sessions), so the driver's oracle certifies its exact
+    //       equivalence to plain event-order sessionization -----
     "q_sessionize" -> ((s, dir) =>
-      graft.operators.Sessionize.sessionStats(tbl(s, dir, "events"))
+      graft.operators.Sessionize.sessionStatsSkewAware(tbl(s, dir, "events"))
         .orderBy("user_id", "session_idx")),
     // ----- Unicode NFC normalization (native codegen expression; JDK and
     //       ICU both implement UAX #15, so outputs are byte-identical):
@@ -488,6 +491,66 @@ object SparkEntry {
         .nearDupPairs(corpus, "doc_id", "text", threshold = 0.6).toDF()
       graft.operators.Dedup.collapseNearDups(corpus, pairs, "doc_id")
         .select("doc_id").orderBy("doc_id")
+    }),
+    // ----- the CHAINED corpus-build flagship: every stage of the LLM-data
+    //       pipeline composed into ONE plan — synthesize pages (with planted
+    //       near-dup copies and planted PII) -> REAL ExtractKernel ->
+    //       Gopher keep-gate -> PII scrub -> minhash collapse -> per-host
+    //       rollup. The reference analog is the composed process_file
+    //       dispatch chain (/root/reference/src/processor.py:716-821).
+    //       Oracled against an independent Python mirror of the whole chain
+    //       (tools/gen_corpus_build.py — brute-force all-pairs minhash, no
+    //       LSH shortcut). The gate + scrub stages are pure scan-projection
+    //       columns: PlanShapeSpec pins that composing them adds NO exchange
+    //       beyond the dedup's own. -----
+    "q_corpus_build" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mutatedSrc = docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" tiny appended suffix")).as("text"))
+      val corpus = docs.unionByName(mutatedSrc)
+      // page text = document text + a boilerplate closing sentence (every
+      // real page carries chrome; it also supplies the stopwords the
+      // synthetic wordish corpus lacks, so the gate's operative rule here
+      // is the word-count window) + planted PII (same decoration scheme as
+      // q_pii_scrub; 1000000 % 4 == 0 so a mutated copy gets its base's
+      // decoration and stays a near-dup)
+      val deco = concat(col("text"),
+        lit(" It is on the record, and that is that."),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit(" Contact john.doe+spam@mail-server.example.co.uk now."))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            lit(" Server at 192.168.0.1 and 10.20.30.40 responded."))
+          .when(pmod(col("doc_id"), lit(4)) === 2,
+            lit(" Call +14155552671 today."))
+          .otherwise(lit("")))
+      val pages = corpus.select(
+          concat(lit("doc://"), col("doc_id")).as("url"),
+          encode(deco, "UTF-8").as("html"))
+        .as[graft.pipeline.Extract.PageSlim]
+      val extracted = pages.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        it.map(p => graft.kernel.ExtractKernel.extractOne(p.url, p.html, pid, 0))
+      }.toDF()
+        .select(substring(col("url"), 7, 32).cast("long").as("doc_id"),
+          col("extracted_text"))
+      // quality gate + scrub are WHERE/projection columns in the same stage
+      // as the kernel output — no exchange until the dedup needs one
+      val gated = extracted
+        .filter(graft.operators.QualityFilters.gopherKeep(col("extracted_text")))
+        .select(col("doc_id"),
+          graft.operators.PiiScrub.redact(col("extracted_text")).as("clean_text"))
+      val pairs = graft.operators.Dedup
+        .nearDupPairs(gated, "doc_id", "clean_text", threshold = 0.6).toDF()
+      val kept = graft.operators.Dedup.collapseNearDups(gated, pairs, "doc_id")
+      kept.select(synthHost(col("doc_id")).as("host"),
+          length(col("clean_text")).as("n_chars"))
+        .groupBy("host")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy("host")
     }),
     // ----- SimHash near-dup detection (hamming-blocked self-join) -----
     "q_simhash_pairs" -> ((s, dir) => {
@@ -927,21 +990,25 @@ object SparkEntry {
     },
     // the regex constants are interpolated from PiiScrub itself — the
     // same backslash-for-backslash strings parse identically under RE2;
-    // DuckDB regexp_replace needs the 'g' flag (Spark replaces all)
+    // DuckDB regexp_replace needs the 'g' flag (Spark replaces all).
+    // Counts mirror the progressive-redaction semantics: each family is
+    // counted on the text the previous family already redacted, so the
+    // counts equal replacements performed.
     "q_pii_scrub" -> {
       import graft.operators.PiiScrub.{EmailRe, Ipv4Re, PhoneRe}
       "WITH t AS (SELECT doc_id, text || CASE " +
         "WHEN doc_id % 4 = 0 THEN ' Contact john.doe+spam@mail-server.example.co.uk now.' " +
         "WHEN doc_id % 4 = 1 THEN ' Server at 192.168.0.1 and 10.20.30.40 responded.' " +
         "WHEN doc_id % 4 = 2 THEN ' Call +14155552671 today.' " +
-        "ELSE '' END AS t FROM documents) " +
+        "ELSE '' END AS t0 FROM documents), " +
+        s"r1 AS (SELECT doc_id, t0, regexp_replace(t0, '$EmailRe', '<EMAIL>', 'g') AS t1 FROM t), " +
+        s"r2 AS (SELECT doc_id, t0, t1, regexp_replace(t1, '$Ipv4Re', '<IP>', 'g') AS t2 FROM r1) " +
         "SELECT doc_id, " +
-        s"regexp_replace(regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'), " +
-        s"'$Ipv4Re', '<IP>', 'g'), '$PhoneRe', '<PHONE>', 'g') AS clean_text, " +
-        s"CAST(len(regexp_extract_all(t, '$EmailRe')) AS INT) AS n_emails, " +
-        s"CAST(len(regexp_extract_all(t, '$Ipv4Re')) AS INT) AS n_ips, " +
-        s"CAST(len(regexp_extract_all(t, '$PhoneRe')) AS INT) AS n_phones " +
-        "FROM t ORDER BY doc_id"
+        s"regexp_replace(t2, '$PhoneRe', '<PHONE>', 'g') AS clean_text, " +
+        s"CAST(len(regexp_extract_all(t0, '$EmailRe')) AS INT) AS n_emails, " +
+        s"CAST(len(regexp_extract_all(t1, '$Ipv4Re')) AS INT) AS n_ips, " +
+        s"CAST(len(regexp_extract_all(t2, '$PhoneRe')) AS INT) AS n_phones " +
+        "FROM r2 ORDER BY doc_id"
     },
     // decorations rebuilt with chr() so the decomposed-vs-precomposed
     // spellings are unambiguous; DuckDB's ICU and the JVM's Normalizer
@@ -1122,6 +1189,15 @@ object SparkEntry {
     "q_dedup_collapse" ->
       ("SELECT doc_id FROM read_parquet('/root/repo/fixtures/expected/dedup_collapse.parquet') " +
         "WHERE corpus_tag = (SELECT count(*) || '-' || sum(length(text)) FROM documents) ORDER BY doc_id"),
+    // The chained corpus-build pipeline: the WHOLE extract -> gate -> scrub
+    // -> minhash-collapse -> rollup chain is mirrored stage-by-stage in
+    // tools/gen_corpus_build.py (Python re-implementation from the
+    // documented semantics; the collapse reuses gen_expected.py's
+    // independent brute-force minhash) and frozen per corpus tag.
+    "q_corpus_build" ->
+      ("SELECT host, n_docs, sum_chars " +
+        "FROM read_parquet('/root/repo/fixtures/expected/corpus_build.parquet') " +
+        "WHERE corpus_tag = (SELECT count(*) || '-' || sum(length(text)) FROM documents) ORDER BY host"),
     // ANN sign-LSH: the float32 hyperplane dots and sequential-fold cosines
     // are reimplemented bit-exactly in tools/gen_expected.py (numpy mirrors
     // the exact IEEE op order) and brute-forced over the full corpus — the

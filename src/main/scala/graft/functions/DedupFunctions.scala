@@ -67,24 +67,30 @@ object DedupExprs {
   /** Double dot product of two float/double vectors: the exact IEEE
     * left-fold `((0 + a0*b0) + a1*b1) + ...` the zip_with+aggregate HOF
     * spelling computes (each element cast to double BEFORE the multiply),
-    * so swapping the HOFs for this native loop changes no result bit.
-    * Unlike zip_with (which null-pads the shorter array), trailing
-    * elements beyond the common length are ignored — callers compare
-    * same-dimension vectors. One fused loop, zero allocation: the HOF
-    * pair materializes a 2x-width intermediate array and interprets two
-    * lambdas per element per PAIR, which is what made the bounded
-    * all-pairs baseline ~10x slower than this. */
-  def vecDot(a: ArrayData, aDouble: Boolean, b: ArrayData, bDouble: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    * so swapping the HOFs for this native loop changes no result bit —
+    * INCLUDING the null edges: zip_with null-pads the shorter array and a
+    * null element nulls its product, and `aggregate`'s `+` fold then
+    * propagates that null to the whole sum. vecDot mirrors both exactly:
+    * mismatched lengths or any null element within the common prefix
+    * return SQL NULL (boxed null here). One fused loop, zero allocation
+    * on the non-null fast path (the boxed Double is the only alloc; the
+    * HOF pair materializes a 2x-width intermediate array and interprets
+    * two lambdas per element per PAIR, which is what made the bounded
+    * all-pairs baseline ~10x slower than this). */
+  def vecDot(a: ArrayData, aDouble: Boolean,
+             b: ArrayData, bDouble: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0d
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aDouble) a.getDouble(i) else a.getFloat(i).toDouble
       val y = if (bDouble) b.getDouble(i) else b.getFloat(i).toDouble
       s += x * y
       i += 1
     }
-    s
+    java.lang.Double.valueOf(s)
   }
 
   /** FNV-1a over one LSH band of a signature (band b, rowsPerBand r). */
@@ -173,10 +179,15 @@ case class MinHashBandHash(left: Expression, right: Expression, rowsPerBand: Int
 }
 
 /** vec_dot(a, b): double dot product of two float/double vectors in one
-  * codegen'd zero-allocation loop (see DedupExprs.vecDot for the exact
-  * IEEE-parity contract vs the HOF spelling it replaces). */
+  * codegen'd loop (see DedupExprs.vecDot for the exact IEEE-parity
+  * contract vs the HOF spelling it replaces — including the null edges:
+  * mismatched lengths or a null element yield SQL NULL, exactly what
+  * `aggregate(zip_with(a, b, _*_), 0d, _+_)` produces, so the expression
+  * is substitutable for the HOF form on ANY admitted input). */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // NULL also arises from non-null inputs (length mismatch / null element)
+  override def nullable: Boolean = true
   private def elemDouble(e: Expression): Boolean = e.dataType match {
     case ArrayType(DoubleType, _) => true
     case _ => false
@@ -193,8 +204,17 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     DedupExprs.vecDot(a.asInstanceOf[ArrayData], elemDouble(left),
       b.asInstanceOf[ArrayData], elemDouble(right))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.DedupExprs.vecDot($a, ${elemDouble(left)}, $b, ${elemDouble(right)})")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double ${ev.value}_boxed = graft.functions.DedupExprs.vecDot(
+         |  $a, ${elemDouble(left)}, $b, ${elemDouble(right)});
+         |if (${ev.value}_boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_boxed.doubleValue();
+         |}
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
     copy(left = l, right = r)
   override def prettyName: String = "vec_dot"

@@ -44,10 +44,14 @@ object CorpusStats {
       .groupBy(col(hostCol), col(srcCol))
       .agg(count(lit(1)).as("cnt"),
         sum(col(charsCol).cast("long")).as("chars"))
+    // n_sources counts NON-NULL sources only — count(DISTINCT source)
+    // semantics (a NULL source group still contributes its docs/chars but
+    // is not a distinct source)
     phase1
       .groupBy(col(hostCol))
       .agg(sum(col("cnt")).cast("long").as("n_docs"),
-        count(lit(1)).as("n_sources"),
+        sum(when(col(srcCol).isNotNull, 1).otherwise(0)).cast("long")
+          .as("n_sources"),
         sum(col("chars")).cast("long").as("sum_chars"))
   }
 

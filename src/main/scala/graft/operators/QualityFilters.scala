@@ -157,11 +157,12 @@ object QualityFilters {
    * §A.1.1, Table A1 — the published repetition family, reimplemented
    * from the description): duplicate-line fraction and duplicate-line
    * character fraction, top-{2,3,4}-gram character fraction, and
-   * duplicate-{5..10}-gram character fraction. Everything is a pure
-   * column expression over array HOFs — per-document work only, no
-   * shuffle, no UDF — so the verdicts compute inside the scan projection
-   * at any corpus scale. (Array HOFs evaluate interpreted, not codegen —
-   * hence the explicit column staging below.)
+   * duplicate-{5..10}-gram character fraction. The statistics compute in
+   * ONE native codegen kernel call per document
+   * (functions/RepetitionFunctions — hash-map gram counting, O(W·n) per
+   * document) — per-document work only, no shuffle, no UDF, so the
+   * verdicts compute inside the scan projection at any corpus scale and
+   * a multi-hundred-KB page costs linear work, never an O(W²) straggler.
    *
    * Exact integer definitions (deviations documented; all thresholds are
    * integer cross-multiplied at percent scale, never float):
@@ -181,71 +182,26 @@ object QualityFilters {
    */
   def gopherRepetitionFlags(df: DataFrame, textCol: String = "text",
                             idCol: String = "doc_id", chunk: Int = 8): DataFrame = {
-    // Expensive intermediates (tokenization, n-gram arrays, distinct sets,
-    // argmax counts, duplicate-start positions) are STAGED AS COLUMNS, one
-    // Project per tier — exactly the oracle's CTE chain. Inlining them into
-    // the HOF lambdas instead would re-evaluate the whole upstream tree per
-    // array element (HOFs are interpreted, not codegen'd, so there is no
-    // common-subexpression elimination inside them): O(N²)·tokenize per row.
-    // CollapseProject keeps the staging: it never re-inlines a non-trivial
-    // alias referenced more than once.
     val dupNs = 5 to 10
-    val staged = df.select(col(idCol), words(col(textCol)).as("w"),
+    val statCols = Seq("n_lines", "n_dup_lines", "n_line_chars",
+      "n_dup_line_chars", "n_word_chars", "top2_chars", "top3_chars",
+      "top4_chars") ++ dupNs.map(n => s"dup${n}_chars")
+    // tokenize + chunk once, then one kernel call per row computes every
+    // statistic (the tokenization stays a shared staged column so the
+    // kernel's two array inputs evaluate once each)
+    val out = df
+      .select(col(idCol), words(col(textCol)).as("w"),
         derivedLines(col(textCol), chunk).as("lines"))
-      .withColumn("dl", array_distinct(col("lines")))
-      .withColumns(
-        (2 to 10).map(n => s"ng$n" ->
-          when(size(col("w")) >= n,
-            transform(sequence(lit(1), size(col("w")) - (n - 1)),
-              i => array_join(slice(col("w"), i, lit(n)), " ")))
-            .otherwise(array().cast("array<string>"))).toMap)
-      // distinct n-grams (top rules) and duplicate start positions (dup rules)
-      .withColumns((2 to 4).map(n => s"dist$n" -> array_distinct(col(s"ng$n"))).toMap)
-      .withColumns(dupNs.map { n =>
-        s"ds$n" -> filter(sequence(lit(1), size(col("w")) - (n - 1)),
-          i => size(filter(col(s"ng$n"), y => y === element_at(col(s"ng$n"), i))) > 1)
-      }.toMap)
-      .withColumns((2 to 4).map { n =>
-        s"mc$n" -> array_max(transform(col(s"dist$n"),
-          d => size(filter(col(s"ng$n"), y => y === d))))
-      }.toMap)
-
-    // count(top n-gram) * chars(top n-gram); ties on count -> max chars
-    def topChars(n: Int): Column = {
-      val ng = col(s"ng$n")
-      val bestChars = array_max(transform(
-        filter(col(s"dist$n"),
-          d => size(filter(ng, y => y === d)) === col(s"mc$n")),
-        d => length(d) - (n - 1)))
-      coalesce(col(s"mc$n") * bestChars, lit(0))
-    }
-
-    // chars of words covered by >=1 duplicated n-gram (marked once)
-    def dupChars(n: Int): Column =
-      when(size(col("w")) >= n,
-        aggregate(sequence(lit(1), size(col("w"))), lit(0), (a, j) =>
-          a + when(exists(col(s"ds$n"), i => i <= j && j <= i + (n - 1)),
-            length(element_at(col("w"), j))).otherwise(0)))
-        .otherwise(lit(0))
-
-    def lineCnt(d: Column) = size(filter(col("lines"), y => y === d))
+      .select(col(idCol),
+        graft.functions.RepetitionFunctions
+          .gopher_rep_stats(col("w"), col("lines")).as("st"))
+      .select(col(idCol) +: statCols.map(c => col(s"st.$c").as(c)): _*)
 
     def okPct(x: Column, pct: Int, denom: Column): Column =
       (x * 100 <= denom * pct).cast("int")
 
     val dupBars = Map(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
-    var out = staged.select(
-      (Seq(col(idCol), size(col("lines")).as("n_lines"),
-        (size(col("lines")) - size(col("dl"))).as("n_dup_lines"),
-        aggregate(col("lines"), lit(0), (a, l) => a + length(l)).as("n_line_chars"),
-        aggregate(col("dl"), lit(0), (a, d) =>
-          a + when(lineCnt(d) > 1, lineCnt(d) * length(d)).otherwise(0))
-          .as("n_dup_line_chars"),
-        aggregate(col("w"), lit(0), (a, x) => a + length(x)).as("n_word_chars"),
-        topChars(2).as("top2_chars"), topChars(3).as("top3_chars"),
-        topChars(4).as("top4_chars")) ++
-        dupNs.map(n => dupChars(n).as(s"dup${n}_chars"))): _*)
-    out = out
+    var flagged = out
       .withColumn("ok_dup_line", okPct(col("n_dup_lines"), 30, col("n_lines")))
       .withColumn("ok_dup_line_char",
         okPct(col("n_dup_line_chars"), 20, col("n_line_chars")))
@@ -253,11 +209,11 @@ object QualityFilters {
       .withColumn("ok_top3", okPct(col("top3_chars"), 18, col("n_word_chars")))
       .withColumn("ok_top4", okPct(col("top4_chars"), 16, col("n_word_chars")))
     for (n <- dupNs)
-      out = out.withColumn(s"ok_dup$n",
+      flagged = flagged.withColumn(s"ok_dup$n",
         okPct(col(s"dup${n}_chars"), dupBars(n), col("n_word_chars")))
     val okCols = Seq("ok_dup_line", "ok_dup_line_char", "ok_top2", "ok_top3",
       "ok_top4") ++ dupNs.map(n => s"ok_dup$n")
-    out.withColumn("keep",
+    flagged.withColumn("keep",
       okCols.map(c => col(c) === 1).reduce(_ && _).cast("int"))
   }
 

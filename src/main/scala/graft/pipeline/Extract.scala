@@ -93,9 +93,15 @@ object Extract {
     // all-failing corpus must degrade to a shuffle join, not OOM the driver.
     val pending = table.retryAttempts(spark, maxRetries) match {
       case Some(att) =>
+        // pre-aggregate to ONE row per url_key (max attempts across url
+        // spellings that canonicalize together): the left join then cannot
+        // fan a page row out, and the surviving retry count is
+        // deterministic rather than sort-tie-order-dependent
         val attKeyed = att.select(
-          graft.functions.UrlFunctions.urlKey(col("url")).as("url_key"),
-          col("prior_attempts"))
+            graft.functions.UrlFunctions.urlKey(col("url")).as("url_key"),
+            col("prior_attempts"))
+          .groupBy(col("url_key"))
+          .agg(max(col("prior_attempts")).as("prior_attempts"))
         notDone.join(attKeyed, Seq("url_key"), "left")
           .withColumn("prior_attempts", coalesce(col("prior_attempts"), lit(0)))
       case None => notDone.withColumn("prior_attempts", lit(0))

@@ -116,10 +116,12 @@ package warc {
         // spanning all records) has no safe interior split points, and
         // magic-byte guessing inside compressed payloads is not exact.
         val splits = WarcIndexer.readIndex(p)
-        // split only when the index covers the file from byte 0 — an index
-        // whose first member starts later cannot reproduce the whole-file
-        // read exactly, so it is ignored rather than trusted
-        if (splits.length <= 1 || splits.head != 0L)
+        // split only when the index covers the file from byte 0 and every
+        // offset is inside the file — an index whose first member starts
+        // later (or that outlived a rewrite of the gz it describes; the
+        // `#gzlen=` header catches that in readIndex) cannot reproduce the
+        // whole-file read exactly, so it is ignored rather than trusted
+        if (splits.length <= 1 || splits.head != 0L || splits.last >= p.length())
           Seq(WarcFilePartition(p.getAbsolutePath, 0L, p.length()))
         else {
           val starts = ArrayBuffer(splits.head)
@@ -388,18 +390,60 @@ package warc {
       } finally chain.close()
       val w = new java.io.FileWriter(new java.io.File(gzFile.getParentFile,
         gzFile.getName + Suffix))
-      try offsets.foreach(o => w.write(o.toString + "\n")) finally w.close()
+      // freshness header: the exact byte length of the gz this index
+      // describes. A rewritten/appended gz under a stale index would land
+      // split offsets mid-member and silently drop rows — readIndex
+      // rejects the index on any length mismatch instead.
+      try {
+        w.write(s"#gzlen=${gzFile.length()}\n")
+        offsets.foreach(o => w.write(o.toString + "\n"))
+      } finally w.close()
       offsets.length
     }
 
-    /** Split offsets for a file, or empty when it has no (readable) index. */
+    /** Split offsets for a file, or empty when it has no (readable) index
+      * OR the index's `#gzlen=` freshness header disagrees with the file's
+      * current length (stale index — e.g. the gz was rewritten). Headerless
+      * legacy indexes are still accepted; the planner's bounds check
+      * (`splits.last < length`) is their only staleness guard. */
     def readIndex(file: java.io.File): Array[Long] = {
       val idx = new java.io.File(file.getParentFile, file.getName + Suffix)
       if (!idx.isFile) return Array.emptyLongArray
       val src = scala.io.Source.fromFile(idx, "UTF-8")
-      try src.getLines().filter(_.nonEmpty).map(_.toLong).toArray
+      try {
+        val lines = src.getLines().filter(_.nonEmpty).toArray
+        val stale = lines.headOption.exists(l =>
+          l.startsWith("#gzlen=") && l.stripPrefix("#gzlen=") != file.length().toString)
+        if (stale) Array.emptyLongArray
+        else lines.filterNot(_.startsWith("#")).map(_.toLong)
+      }
       catch { case _: NumberFormatException => Array.emptyLongArray }
       finally src.close()
+    }
+  }
+
+  /** CLI to index pre-existing third-party `.warc.gz` files for
+    * range-split scans (the once-per-file ingest job a real deployment
+    * schedules at crawl-ingest time; every later scan of an indexed file
+    * fans out into ~128 MB partitions):
+    *
+    *   java -cp ... graft.sources.warc.WarcIndexerMain <file-or-dir> ...
+    *
+    * Writes `<file>.warci` next to each gz file (one sequential pass per
+    * file); non-gzip inputs are skipped (a plain `.warc` is never
+    * splittable — see WarcScan). Prints one JSON line per file. */
+  object WarcIndexerMain {
+    def main(args: Array[String]): Unit = {
+      require(args.nonEmpty, "usage: WarcIndexerMain <warc.gz-file-or-dir> ...")
+      args.iterator.map(new java.io.File(_)).flatMap { f =>
+        if (f.isDirectory)
+          Option(f.listFiles((_, n) => n.endsWith(".warc.gz")))
+            .getOrElse(Array.empty[java.io.File]).sortBy(_.getName).toSeq
+        else Seq(f)
+      }.foreach { f =>
+        val n = WarcIndexer.writeIndex(f)
+        println(s"""{"file":"${f.getAbsolutePath}","members":$n}""")
+      }
     }
   }
 

@@ -82,6 +82,53 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), plan)
   }
 
+  test("corpus-build chain: the gate + scrub stages add NO exchange beyond " +
+       "the dedup's own (they fuse into the kernel output stage)") {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    // the q_corpus_build composition, with the quality gate + PII scrub
+    // switchable: both variants must shuffle exactly the same number of
+    // times — the gate is a WHERE and the scrub a projection, both in the
+    // kernel's stage
+    def chain(gateAndScrub: Boolean): org.apache.spark.sql.DataFrame = {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val pages = docs.select(
+          concat(lit("doc://"), col("doc_id")).as("url"),
+          encode(col("text"), "UTF-8").as("html"))
+        .as[graft.pipeline.Extract.PageSlim]
+      val extracted = pages.mapPartitions { it =>
+        it.map(p => graft.kernel.ExtractKernel.extractOne(p.url, p.html, 0, 0))
+      }.toDF()
+        .select(substring(col("url"), 7, 32).cast("long").as("doc_id"),
+          col("extracted_text"))
+      val gated =
+        if (gateAndScrub)
+          extracted
+            .filter(graft.operators.QualityFilters.gopherKeep(col("extracted_text")))
+            .select(col("doc_id"),
+              graft.operators.PiiScrub.redact(col("extracted_text")).as("clean_text"))
+        else extracted.select(col("doc_id"), col("extracted_text").as("clean_text"))
+      graft.operators.Dedup
+        .nearDupPairs(gated, "doc_id", "clean_text", threshold = 0.6).toDF()
+    }
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      planOf(df).linesIterator.count(_.contains("Exchange"))
+    // (a) pair generation — the dedup's only shuffling stage before the
+    // rollup — shuffles exactly as often with the stages as without
+    val withStages = chain(gateAndScrub = true)
+    val without = chain(gateAndScrub = false)
+    assert(exchanges(withStages) === exchanges(without),
+      s"gate/scrub added exchanges: ${planOf(withStages)}")
+    // (b) the scrub's regex replacements evaluate BELOW the first exchange
+    // (in the kernel-output stage), not in a post-shuffle stage of their own
+    val lines = planOf(withStages).linesIterator.toSeq
+    val firstExchange = lines.indexWhere(_.contains("Exchange"))
+    val scrubLine = lines.lastIndexWhere(_.contains("<EMAIL>"))
+    assert(firstExchange >= 0 && scrubLine > firstExchange,
+      "scrub projection not below the dedup exchange:\n" + lines.mkString("\n"))
+  }
+
   test("native text expressions stay inside whole-stage codegen") {
     import graft.functions.TextFunctions
     val df = spark.read.parquet(s"$sf/documents.parquet")

@@ -32,6 +32,20 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(b.getLong(1) === 1L && b.getLong(2) === 1L && b.getLong(3) === 5L)
   }
 
+  test("hostProfile: NULL sources count docs/chars but are not a distinct source") {
+    // count(DISTINCT source) semantics: the null-source rows contribute to
+    // n_docs and sum_chars yet never inflate n_sources
+    val df = Seq(
+      ("a.com", Some("s1"), 10L), ("a.com", None, 20L), ("a.com", None, 30L),
+      ("b.org", None, 5L)
+    ).toDF("host", "source", "n_chars")
+    val out = CorpusStats.hostProfile(df).orderBy("host").collect()
+    val a = out(0)
+    assert(a.getLong(1) === 3L && a.getLong(2) === 1L && a.getLong(3) === 60L)
+    val b = out(1)
+    assert(b.getLong(1) === 1L && b.getLong(2) === 0L && b.getLong(3) === 5L)
+  }
+
   test("hostProfile: hot-host skew pre-shards across (host, source) groups") {
     // one host carrying 90% of rows across many sources must still come
     // out as one combined row with an exact distinct-source count

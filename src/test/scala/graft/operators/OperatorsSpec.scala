@@ -107,6 +107,21 @@ class OperatorsSpec extends AnyFunSuite {
       .select(graft.functions.DedupFunctions.vec_dot(col("a"), col("b")))
       .head().getDouble(0)
     assert(d === 1.5 * 0.5 + -2.25 * 4.0 + 3.0 * -1.25)
+
+    // the null edges the HOF spelling defines: zip_with null-pads a length
+    // mismatch and a null element nulls its product; aggregate's + fold
+    // then propagates null to the whole sum. vec_dot must match both.
+    val edges = Seq(
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0)),          // length mismatch
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)),    // null element left
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](null, 4.0)),    // null element right
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0))      // clean control
+    ).toDF("a", "b")
+    val edgeOut = edges.select(
+      graft.functions.DedupFunctions.vec_dot(col("a"), col("b")).as("fast"),
+      hof.as("ref")).collect()
+    edgeOut.take(3).foreach(r => assert(r.isNullAt(0) && r.isNullAt(1)))
+    assert(edgeOut(3).getDouble(0) === 11.0 && edgeOut(3).getDouble(1) === 11.0)
   }
 
   test("IVF ANN: high recall on clustered vectors via probed cells") {

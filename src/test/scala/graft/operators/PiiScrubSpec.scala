@@ -15,7 +15,7 @@ class PiiScrubSpec extends AnyFunSuite {
 
   import spark.implicits._
 
-  test("scrub: emails, IPv4s, phones redacted; counts from the original") {
+  test("scrub: emails, IPv4s, phones redacted; counts are as-redacted") {
     val docs = Seq(
       (1L, "Mail a.b+c@sub.example.org or x@y.io, host 10.0.0.1, call +4912345678."),
       (2L, "No pii here at all."),
@@ -47,5 +47,29 @@ class PiiScrubSpec extends AnyFunSuite {
     // pure codegen: no UDF, no shuffle
     val plan = PiiScrub.scrub(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("ScalaUDF") && !plan.contains("Exchange"), plan)
+  }
+
+  test("scrub counts equal redactions performed: a phone-shaped run inside " +
+       "an email never double-counts") {
+    val docs = Seq(
+      // the +12345678 run is part of the email local part: the email pass
+      // removes it, so the phone count must be 0 (and ip count 0)
+      (1L, "write to a+12345678@x.io please"),
+      // an IP next to a phone: each counted by its own pass
+      (2L, "host 10.0.0.1 phone +123456789")
+    ).toDF("doc_id", "text")
+    val out = PiiScrub.scrub(docs).orderBy("doc_id").collect()
+    assert(out(0).getString(1) === "write to <EMAIL> please")
+    assert(out(0).getInt(2) === 1 && out(0).getInt(3) === 0 &&
+      out(0).getInt(4) === 0)
+    assert(out(1).getString(1) === "host <IP> phone <PHONE>")
+    assert(out(1).getInt(2) === 0 && out(1).getInt(3) === 1 &&
+      out(1).getInt(4) === 1)
+    // per-family counts sum to the total replacement tokens in clean_text
+    out.foreach { r =>
+      val tokens = Seq("<EMAIL>", "<IP>", "<PHONE>").map(t =>
+        r.getString(1).sliding(t.length).count(_ == t)).sum
+      assert(tokens === r.getInt(2) + r.getInt(3) + r.getInt(4))
+    }
   }
 }

@@ -150,6 +150,100 @@ class QualityFiltersSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
   }
 
+  test("gopher repetition kernel: bit-identical to the array-HOF reference " +
+       "formulas on a randomized corpus") {
+    import spark.implicits._
+    // the ORIGINAL per-position array-HOF spelling of the statistics (the
+    // O(W²) reference the one-pass kernel replaced), kept here as an
+    // executable specification — both must agree on every generated doc
+    def hofStats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val dupNs = 5 to 10
+      val staged = df.select(col("doc_id"), QualityFilters.words(col("text")).as("w"),
+          QualityFilters.derivedLines(col("text")).as("lines"))
+        .withColumn("dl", array_distinct(col("lines")))
+        .withColumns(
+          (2 to 10).map(n => s"ng$n" ->
+            when(size(col("w")) >= n,
+              transform(sequence(lit(1), size(col("w")) - (n - 1)),
+                i => array_join(slice(col("w"), i, lit(n)), " ")))
+              .otherwise(array().cast("array<string>"))).toMap)
+        .withColumns((2 to 4).map(n => s"dist$n" -> array_distinct(col(s"ng$n"))).toMap)
+        .withColumns(dupNs.map { n =>
+          s"ds$n" -> filter(sequence(lit(1), size(col("w")) - (n - 1)),
+            i => size(filter(col(s"ng$n"), y => y === element_at(col(s"ng$n"), i))) > 1)
+        }.toMap)
+        .withColumns((2 to 4).map { n =>
+          s"mc$n" -> array_max(transform(col(s"dist$n"),
+            d => size(filter(col(s"ng$n"), y => y === d))))
+        }.toMap)
+      def topChars(n: Int) = coalesce(col(s"mc$n") * array_max(transform(
+        filter(col(s"dist$n"),
+          d => size(filter(col(s"ng$n"), y => y === d)) === col(s"mc$n")),
+        d => length(d) - (n - 1))), lit(0))
+      def dupChars(n: Int) =
+        when(size(col("w")) >= n,
+          aggregate(sequence(lit(1), size(col("w"))), lit(0), (a, j) =>
+            a + when(exists(col(s"ds$n"), i => i <= j && j <= i + (n - 1)),
+              length(element_at(col("w"), j))).otherwise(0)))
+          .otherwise(lit(0))
+      def lineCnt(d: org.apache.spark.sql.Column) =
+        size(filter(col("lines"), y => y === d))
+      staged.select(
+        (Seq(col("doc_id"), size(col("lines")).as("n_lines"),
+          (size(col("lines")) - size(col("dl"))).as("n_dup_lines"),
+          aggregate(col("lines"), lit(0), (a, l) => a + length(l)).as("n_line_chars"),
+          aggregate(col("dl"), lit(0), (a, d) =>
+            a + when(lineCnt(d) > 1, lineCnt(d) * length(d)).otherwise(0))
+            .as("n_dup_line_chars"),
+          aggregate(col("w"), lit(0), (a, x) => a + length(x)).as("n_word_chars"),
+          topChars(2).as("top2_chars"), topChars(3).as("top3_chars"),
+          topChars(4).as("top4_chars")) ++
+          dupNs.map(n => dupChars(n).as(s"dup${n}_chars"))): _*)
+    }
+    // randomized docs with heavy repetition pressure: small vocabularies
+    // force duplicated lines/grams of every order; vary word lengths so
+    // char-length tie-breaks are exercised; include unicode words
+    val rnd = new scala.util.Random(20260818)
+    val vocabs = Seq(
+      (1 to 4).map(i => "w" * i),
+      Seq("alpha", "béta", "γδ", "x", "yy", "zzz"),
+      (1 to 30).map(i => s"t$i"),
+      Seq("a"))
+    val docs = (0 until 120).map { id =>
+      val v = vocabs(id % vocabs.length)
+      val len = rnd.nextInt(120)
+      (id.toLong, (0 until len).map(_ => v(rnd.nextInt(v.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val fast = QualityFilters.gopherRepetitionFlags(docs)
+      .select("doc_id", "n_lines", "n_dup_lines", "n_line_chars",
+        "n_dup_line_chars", "n_word_chars", "top2_chars", "top3_chars",
+        "top4_chars", "dup5_chars", "dup6_chars", "dup7_chars", "dup8_chars",
+        "dup9_chars", "dup10_chars")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val ref = hofStats(docs).orderBy("doc_id").collect().map(_.toSeq)
+    assert(fast.length === ref.length)
+    fast.zip(ref).foreach { case (f, r) => assert(f === r) }
+  }
+
+  test("gopher repetition kernel: a 150k-word pathological doc finishes in " +
+       "linear time (the O(W²) straggler class is gone)") {
+    import spark.implicits._
+    // maximal repetition pressure: a small cycling vocabulary means nearly
+    // every n-gram duplicates — the worst case for the dup-gram marking
+    val big = (0 until 150000).map(i => s"w${i % 13}").mkString(" ")
+    val df = Seq((1L, big)).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val row = QualityFilters.gopherRepetitionFlags(df).collect().head
+    val secs = (System.nanoTime() - t0) / 1e9
+    // the quadratic HOF form needed ~2*10^10 string comparisons here (many
+    // minutes); the kernel is linear — generous bound for a throttled host
+    assert(secs < 60.0, f"took $secs%.1f s")
+    assert(row.getAs[Int]("n_word_chars") > 0)
+    // every position is covered by a duplicated 5..10-gram
+    assert(row.getAs[Int]("dup5_chars") === row.getAs[Int]("n_word_chars"))
+    assert(row.getAs[Int]("keep") === 0)
+  }
+
   test("c4Flags: line keep rules, page flags, sentence floor, clean_text") {
     import spark.implicits._
     val page1 =

@@ -204,6 +204,57 @@ class WarcSpec extends AnyFunSuite {
       Seq("http://one/1", "http://one/2"))
   }
 
+  test("stale .warci is rejected: a rewritten gz falls back to whole-file") {
+    val dir = tmpDir()
+    val f = new java.io.File(dir, "grow.warc.gz")
+    def recs(n: Int) = (0 until n).map(i =>
+      (s"http://g/$i", "2026-01-01T00:00:01Z", (s"body $i " * 30).getBytes("UTF-8")))
+    WarcFixtures.writeWarc(f, recs(50), gzip = true, index = true)
+    assert(graft.sources.warc.WarcIndexer.readIndex(f).length === 50)
+    // rewrite the gz UNDER the old index (more records -> every old offset
+    // is now wrong): the freshness header must invalidate the whole index
+    WarcFixtures.writeWarc(f, recs(80), gzip = true, index = false)
+    assert(graft.sources.warc.WarcIndexer.readIndex(f).isEmpty)
+    // the scan falls back to one whole-file partition and drops no rows
+    val df = spark.read.format("graft.sources.warc.WarcDataSource")
+      .option("max_partition_bytes", "2048")
+      .load(f.getAbsolutePath)
+    assert(df.rdd.getNumPartitions === 1)
+    assert(df.count() === 80L)
+    // re-indexing refreshes the header; the fan-out returns, rows identical
+    assert(graft.sources.warc.WarcIndexer.writeIndex(f) === 80)
+    val again = spark.read.format("graft.sources.warc.WarcDataSource")
+      .option("max_partition_bytes", "2048")
+      .load(f.getAbsolutePath)
+    assert(again.rdd.getNumPartitions > 1)
+    assert(again.select("url").collect().map(_.getString(0)).sorted.toSeq ===
+      df.select("url").collect().map(_.getString(0)).sorted.toSeq)
+  }
+
+  test("WarcIndexerMain indexes pre-existing gz files; ranged read is row-identical") {
+    val dir = tmpDir()
+    val f = new java.io.File(dir, "cli.warc.gz")
+    val recs = (0 until 120).map(i =>
+      (s"http://cli/$i", "2026-01-01T00:00:01Z", (s"page $i " * 40).getBytes("UTF-8")))
+    // written WITHOUT an index — a third-party crawl file
+    WarcFixtures.writeWarc(f, recs, gzip = true, index = false)
+    val whole = readWarc(f.getAbsolutePath)
+    assert(whole.rdd.getNumPartitions === 1)
+    val wholeRows = whole.collect()
+      .map(r => (r.getString(0), new String(r.getAs[Array[Byte]](2), "UTF-8")))
+      .sortBy(_._1).toSeq
+    // the CLI indexes the directory (same entry point spark-submit drives)
+    graft.sources.warc.WarcIndexerMain.main(Array(dir.getAbsolutePath))
+    assert(graft.sources.warc.WarcIndexer.readIndex(f).length === 120)
+    val ranged = spark.read.format("graft.sources.warc.WarcDataSource")
+      .option("max_partition_bytes", "4096")
+      .load(f.getAbsolutePath)
+    assert(ranged.rdd.getNumPartitions > 2)
+    assert(ranged.collect()
+      .map(r => (r.getString(0), new String(r.getAs[Array[Byte]](2), "UTF-8")))
+      .sortBy(_._1).toSeq === wholeRows)
+  }
+
   test("column pruning reaches the reader: select url never materializes content") {
     val dir = tmpDir()
     WarcFixtures.writeWarc(new java.io.File(dir, "p.warc"),
