@@ -52,6 +52,7 @@ object GraftFunctions {
     "lang_id_ngram" -> { es => need(es, Set(1), "lang_id_ngram"); LangIdNgram(es.head) },
     "nfc_normalize" -> { es => need(es, Set(1), "nfc_normalize"); NfcNormalize(es.head) },
     "nfkc_normalize" -> { es => need(es, Set(1), "nfkc_normalize"); NfkcNormalize(es.head) },
+    "fix_mojibake" -> { es => need(es, Set(1), "fix_mojibake"); FixMojibake(es.head) },
     "simhash64" -> { es => need(es, Set(1), "simhash64"); SimHash64(es.head) },
     "minhash_signature" -> { es =>
       need(es, Set(1, 4), "minhash_signature")

@@ -405,6 +405,52 @@ object SparkEntry {
     "q_rare_tokens" -> ((s, dir) =>
       graft.operators.CorpusStats.rareTokenStats(tbl(s, dir, "documents"))
         .orderBy("doc_id")),
+    // ----- Lee-et-al-style exact substring dedup at 10-token-window
+    //       granularity over a corpus with planted full copies
+    //       (doc_id%7==0 re-appears at +1000000): every window of a
+    //       copied doc is corpus-duplicated, so the copy AND its base
+    //       fail the ok gate; all other docs keep -----
+    "q_window_dedup" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      graft.operators.Dedup.windowDupStats(docs.unionByName(copies))
+        .orderBy("doc_id")
+    }),
+    // ----- GPT-3-style benchmark decontamination (13-gram overlap):
+    //       docs doc_id%50==0 act as the eval benchmark; corpus docs
+    //       doc_id%10==3 get a benchmark doc's text appended (partner id
+    //       by doc_id arithmetic), so they and the benchmark docs'
+    //       training-set copies flag contaminated -----
+    "q_decontam" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("bid"), col("text").as("btext"))
+      val tainted = docs.filter(col("doc_id") % 10 === 3)
+        .withColumn("bid", expr("((doc_id div 10) % 10) * 50"))
+        .join(broadcast(bench), "bid")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" "), col("btext")).as("text"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 3).unionByName(tainted)
+      graft.operators.CorpusStats.decontamStats(corpus,
+          bench.select(col("btext").as("text")))
+        .orderBy("doc_id")
+    }),
+    // ----- ftfy-style mojibake repair (codegen expression): plant
+    //       UTF-8-bytes-read-as-CP1252 by replacing 'the' with 'thÃ©'
+    //       (chr 195,169); fix_mojibake must re-decode to 'thé' and
+    //       leave ASCII untouched. The oracle computes the expected
+    //       repaired string directly -----
+    "q_mojibake" -> ((s, dir) => {
+      val planted =
+        regexp_replace(col("text"), lit("the"), lit("thÃ©"))
+      tbl(s, dir, "documents").select(col("doc_id"),
+          graft.functions.TextFunctions.fix_mojibake(planted)
+            .as("fixed_text"),
+          (graft.functions.TextFunctions.fix_mojibake(planted) =!= planted)
+            .cast("int").as("was_fixed"))
+        .orderBy("doc_id")
+    }),
     // ----- C4-style page cleaning over deterministically decorated
     //       multi-line text (same fixture idiom as q_line_shape): line
     //       keep rules + lorem/brace/sentence page rules + clean_text -----
@@ -958,6 +1004,43 @@ object SparkEntry {
         "CAST(coalesce(p.n_rare, 0) AS BIGINT) AS n_rare_tokens, " +
         "CASE WHEN coalesce(p.n_rare, 0) * 5 <= coalesce(p.n_tokens, 0) THEN 1 ELSE 0 END AS ok_rare " +
         "FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id"),
+    // Same planted-copy corpus (doc_id%7==0 at +1000000), 10-token
+    // windows by list_slice (DuckDB counts window STRINGS where Spark
+    // counts xxhash64 of them — the accepted hash-injectivity standard);
+    // generate_series(1, n) with n < 1 is empty on the DuckDB side, the
+    // Spark side guards the same case explicitly
+    "q_window_dedup" ->
+      (s"""WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0), """ +
+      s"""w AS (SELECT doc_id, regexp_extract_all(text, '$NonWs+') AS w FROM corpus), """ +
+      """wins AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 9), i -> array_to_string(list_slice(w, i, i + 9), ' '))) AS win FROM w), """ +
+      """c AS (SELECT win, count(*) AS cnt FROM wins GROUP BY win), """ +
+      """p AS (SELECT wins.doc_id, CAST(count(*) AS BIGINT) AS n_windows, CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup FROM wins JOIN c USING (win) GROUP BY wins.doc_id) """ +
+      """SELECT corpus.doc_id, CAST(coalesce(p.n_windows, 0) AS BIGINT) AS n_windows, CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_windows, """ +
+      """CASE WHEN coalesce(p.n_dup, 0) * 2 <= coalesce(p.n_windows, 0) THEN 1 ELSE 0 END AS ok_windows """ +
+      """FROM corpus LEFT JOIN p USING (doc_id) ORDER BY doc_id"""),
+    // Same partner arithmetic ((doc_id // 10) % 10) * 50 builds the
+    // tainted corpus; benchmark 13-grams joined as STRINGS (Spark joins
+    // their xxhash64); LEFT JOIN + coalesce keeps sub-13-token docs
+    "q_decontam" ->
+      (s"""WITH bench AS (SELECT doc_id AS bid, text AS btext FROM documents WHERE doc_id % 50 = 0), """ +
+      """corpus AS (SELECT d.doc_id, d.text || ' ' || b.btext AS text FROM documents d JOIN bench b ON b.bid = ((d.doc_id // 10) % 10) * 50 WHERE d.doc_id % 10 = 3 """ +
+      """UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3), """ +
+      s"""bw AS (SELECT regexp_extract_all(btext, '$NonWs+') AS w FROM bench), """ +
+      """bg AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(w) - 12), i -> array_to_string(list_slice(w, i, i + 12), ' '))) AS g FROM bw), """ +
+      s"""cw AS (SELECT doc_id, regexp_extract_all(text, '$NonWs+') AS w FROM corpus), """ +
+      """cg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 12), i -> array_to_string(list_slice(w, i, i + 12), ' '))) AS g FROM cw), """ +
+      """p AS (SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_grams, CAST(sum(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit FROM cg LEFT JOIN bg USING (g) GROUP BY cg.doc_id) """ +
+      """SELECT c.doc_id, CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams, CAST(coalesce(p.n_hit, 0) AS BIGINT) AS n_hit_grams, """ +
+      """CASE WHEN coalesce(p.n_hit, 0) > 0 THEN 1 ELSE 0 END AS contaminated """ +
+      """FROM corpus c LEFT JOIN p USING (doc_id) ORDER BY doc_id"""),
+    // The oracle computes the repaired string DIRECTLY (replace 'the' ->
+    // 'th'||chr(233), i.e. 'thé'), so the Spark side's plant-then-repair
+    // round trip (regexp_replace to 'thÃ©', then fix_mojibake) must land
+    // on the identical bytes; was_fixed mirrors contains()
+    "q_mojibake" ->
+      ("SELECT doc_id, replace(text, 'the', 'th' || chr(233)) AS fixed_text, " +
+        "CASE WHEN contains(text, 'the') THEN 1 ELSE 0 END AS was_fixed " +
+        "FROM documents ORDER BY doc_id"),
     // decorated-line fixture mirrored CASE-for-CASE (same idiom as
     // q_line_shape); line keep predicate and sentence count mirrored
     // function-for-function; regexp_replace needs the 'g' flag (DuckDB

@@ -45,6 +45,52 @@ object TextExprs {
     else UTF8String.fromString(
       java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFKC))
   }
+
+  private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
+
+  /**
+   * Single-pass mojibake repair (the core heuristic of ftfy's
+   * fix_encoding): a string whose characters all round-trip through
+   * CP1252 *and* whose CP1252 byte image is strict-valid UTF-8 with at
+   * least one multi-byte sequence was almost certainly UTF-8 bytes
+   * mis-decoded as CP1252 ("thÃ©" -> "thé", "â€™" -> "’") — re-decode it.
+   * Anything else (pure ASCII, genuine Latin-1 text like "café" whose
+   * byte image is NOT valid UTF-8, emoji outside CP1252) returns
+   * unchanged, which is the safety property that makes the fix
+   * idempotent on clean text. Strict REPORT coding on both legs; any
+   * coding error means "not mojibake" and returns the input.
+   */
+  def fixMojibakeStr(t: String): String = {
+    var hasHigh = false
+    var i = 0
+    while (i < t.length && !hasHigh) {
+      if (t.charAt(i) >= 0x80) hasHigh = true
+      i += 1
+    }
+    if (!hasHigh) return t // ASCII fast path: nothing to repair
+    try {
+      val enc = Cp1252.newEncoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      val bytes = enc.encode(java.nio.CharBuffer.wrap(t))
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      val fixed = dec.decode(bytes).toString
+      // fixed.length < t.length iff a multi-byte UTF-8 sequence collapsed;
+      // equal length means the bytes were all single-byte ASCII-range (no
+      // repair evidence) — impossible here since hasHigh, but kept cheap
+      if (fixed.length < t.length) fixed else t
+    } catch {
+      case _: java.nio.charset.CharacterCodingException => t
+    }
+  }
+
+  def fixMojibakeUTF8(s: UTF8String): UTF8String = {
+    val t = s.toString
+    val fixed = fixMojibakeStr(t)
+    if (fixed eq t) s else UTF8String.fromString(fixed)
+  }
 }
 
 abstract class StringKernelExpr extends UnaryExpression {
@@ -116,6 +162,17 @@ case class NfkcNormalize(child: Expression) extends StringKernelExpr {
   override def prettyName: String = "nfkc_normalize"
 }
 
+/** fix_mojibake(s): single-pass ftfy-style repair of UTF-8 bytes
+  * mis-decoded as CP1252 ("thÃ©" -> "thé"); returns the input unchanged
+  * unless the CP1252 byte image is strict-valid multi-byte UTF-8. */
+case class FixMojibake(child: Expression) extends StringKernelExpr {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = TextExprs.fixMojibakeUTF8(v.asInstanceOf[UTF8String])
+  override protected def staticCall = "graft.functions.TextExprs.fixMojibakeUTF8"
+  override protected def withNewChildInternal(c: Expression): FixMojibake = copy(child = c)
+  override def prettyName: String = "fix_mojibake"
+}
+
 object TextFunctions {
   def sanitize_text(c: Column): Column = ColumnBridge.column(SanitizeText(ColumnBridge.expression(c)))
   def printable_ratio(c: Column): Column = ColumnBridge.column(PrintableRatio(ColumnBridge.expression(c)))
@@ -123,6 +180,7 @@ object TextFunctions {
   def lang_id_ngram(c: Column): Column = ColumnBridge.column(LangIdNgram(ColumnBridge.expression(c)))
   def nfc_normalize(c: Column): Column = ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
   def nfkc_normalize(c: Column): Column = ColumnBridge.column(NfkcNormalize(ColumnBridge.expression(c)))
+  def fix_mojibake(c: Column): Column = ColumnBridge.column(FixMojibake(ColumnBridge.expression(c)))
 
   /** SQL registration: SELECT sanitize_text(text) ... */
   def register(spark: SparkSession): Unit = {
@@ -133,5 +191,6 @@ object TextFunctions {
     reg.createOrReplaceTempFunction("lang_id_ngram", es => LangIdNgram(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("nfc_normalize", es => NfcNormalize(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("nfkc_normalize", es => NfkcNormalize(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("fix_mojibake", es => FixMojibake(es.head), "scala_udf")
   }
 }

@@ -123,4 +123,58 @@ object CorpusStats {
       .withColumn("ok_rare",
         (col("n_rare_tokens") * 5 <= col("n_tokens")).cast("int"))
   }
+
+  /** xxhash64 of every length-`n` token n-gram of a text column (stride 1),
+    * computed in the scan projection with codegen built-ins. Short texts
+    * (< n tokens) yield an empty array — guarded explicitly because
+    * Spark's sequence(1, k) counts DOWN when k < 1. */
+  private def gramHashes(text: Column, n: Int): Column = {
+    val w = QualityFilters.words(text)
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => xxhash64(array_join(slice(w, i, lit(n)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /**
+   * Benchmark decontamination (the GPT-3 appendix-C discipline, kept by
+   * every open corpus since): flag any training document that shares a
+   * length-`n` token n-gram with an evaluation benchmark, so eval
+   * contamination is removed BEFORE training rather than explained after.
+   * The reference has no corpus/benchmark notion (one file at a time);
+   * this is a first-class operator of any 100 TB training-data build.
+   *
+   * Scale shape: an eval suite is config-sized next to the corpus (even
+   * 100k benchmark docs make only a few-M distinct 13-gram hashes), so
+   * the membership probe is a BROADCAST left join on 8-byte hashes: the
+   * corpus side explodes gram hashes inside its scan stage, probes the
+   * broadcast set executor-locally, and the per-doc aggregate combines
+   * map-side — corpus text never shuffles, and the only exchange is the
+   * final per-doc combine keyed on idCol. Documents with fewer than `n`
+   * tokens contribute no grams and survive via the outer join back.
+   *
+   * Output: (idCol, n_grams, n_hit_grams, contaminated 0/1).
+   */
+  def decontamStats(corpus: DataFrame, bench: DataFrame,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    n: Int = 13): DataFrame = {
+    require(n >= 1, s"n-gram length must be >= 1, got $n")
+    val benchGrams = bench
+      .select(explode(gramHashes(col(textCol), n)).as("gh"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    val corpusGrams = corpus
+      .select(col(idCol), explode(gramHashes(col(textCol), n)).as("gh"))
+    val perDoc = corpusGrams
+      .join(broadcast(benchGrams), Seq("gh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit_grams"))
+    corpus.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"))
+      .withColumn("contaminated", (col("n_hit_grams") > 0).cast("int"))
+  }
 }

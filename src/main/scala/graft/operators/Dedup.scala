@@ -457,4 +457,55 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming").dropDuplicates("id_a", "id_b")
   }
+
+  // ------------------------------------------------- exact window dedup
+  /**
+   * Exact substring-duplication stats at token-window granularity — the
+   * practical form of Lee et al., "Deduplicating Training Data Makes
+   * Language Models Better" (2022): their suffix-array pass marks every
+   * 50-token span that recurs anywhere in the corpus; here every
+   * length-`win` token window (stride 1) is hashed and counted
+   * corpus-wide, flagging exactly the spans a window-granularity suffix
+   * array would. The reference processes one file at a time and has no
+   * corpus-wide view at all (/root/reference/src/app.py:383-406); this is
+   * the substring-level complement to [[nearDupPairs]] (whole-document
+   * near-dups) and `QualityFilters.lineDedupStats` (literal line dedup).
+   *
+   * Scale shape (100 TB): window hashes are computed inside the scan
+   * projection with codegen built-ins (transform/slice/xxhash64 — no
+   * UDF), so the ONLY bytes that shuffle are the 8-byte hashes: once into
+   * the corpus-wide count (map-side partial combine) and once joining the
+   * verdict back — the same two-shuffle discipline as `rareTokenStats`.
+   * Documents shorter than `win` words contribute no windows and survive
+   * via the left join (0, 0, keep).
+   *
+   * Output: (idCol, n_windows, n_dup_windows, ok_windows) — ok when
+   * duplicated windows are at most half of all windows, integer
+   * cross-multiplied (never a float ratio).
+   */
+  def windowDupStats(df: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id", win: Int = 10): DataFrame = {
+    require(win >= 1, s"window size must be >= 1, got $win")
+    val w = QualityFilters.words(col(textCol))
+    // guard the short-text case explicitly: Spark's sequence(1, n) counts
+    // DOWN when n < 1, which would fabricate windows
+    val hashes = when(size(w) >= win,
+      transform(sequence(lit(1), size(w) - (win - 1)),
+        i => xxhash64(array_join(slice(w, i, lit(win)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+    val wh = df.select(col(idCol), explode(hashes).as("wh"))
+    val counts = wh.groupBy(col("wh")).agg(count(lit(1)).as("cnt"))
+    val perDoc = wh.join(counts, Seq("wh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("cnt") > 1, 1).otherwise(0)).cast("long")
+          .as("n_dup_windows"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .withColumn("ok_windows",
+        (col("n_dup_windows") * 2 <= col("n_windows")).cast("int"))
+  }
 }

@@ -90,6 +90,39 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sqlR.getString(0) === "café" && sqlR.getString(1) === "fin")
   }
 
+  test("fix_mojibake: repairs CP1252-mis-decoded UTF-8, leaves clean text alone") {
+    GraftFunctions.registerAll(spark)
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    val df = spark.range(1).select(
+      // UTF-8 é (C3 A9) read as CP1252 shows "Ã©"
+      TextFunctions.fix_mojibake(lit("thÃ© end")).as("a"),
+      // UTF-8 ’ (E2 80 99) read as CP1252 shows "â€™" (€/™ are CP1252-only)
+      TextFunctions.fix_mojibake(lit("itâ€™s")).as("b"),
+      // genuine Latin-1 text: byte image E9 is NOT valid UTF-8 -> unchanged
+      TextFunctions.fix_mojibake(lit("café")).as("c"),
+      // pure ASCII fast path
+      TextFunctions.fix_mojibake(lit("plain ascii")).as("d"),
+      // emoji is outside CP1252 entirely -> encoder REPORTs -> unchanged
+      TextFunctions.fix_mojibake(lit("ok 😀")).as("e"))
+    val r = df.collect().head
+    assert(r.getString(0) === "thé end")
+    assert(r.getString(1) === "it’s")
+    assert(r.getString(2) === "café")
+    assert(r.getString(3) === "plain ascii")
+    assert(r.getString(4) === "ok 😀")
+    // repaired output is a fixpoint (idempotent on clean text)
+    val again = spark.range(1).select(
+      TextFunctions.fix_mojibake(lit("thé end")).as("a")).collect().head
+    assert(again.getString(0) === "thé end")
+    // stays in whole-stage codegen; SQL front door agrees
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    val sqlR = spark.sql(
+      "SELECT fix_mojibake('thÃ©') AS a").collect().head
+    assert(sqlR.getString(0) === "thé")
+  }
+
   test("non-literal optional parameter rejected at analysis with a clear message") {
     GraftFunctions.registerAll(spark)
     val ex = intercept[Exception] {

@@ -110,4 +110,35 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out.map(_.getLong(2)).toSeq === Seq(0L, 0L))
     assert(out.map(_.getInt(3)).toSeq === Seq(1, 1))
   }
+
+  // -------------------------------------------------------- decontamStats
+  test("decontamStats: shared n-grams with the benchmark flag a doc; counts exact") {
+    val benchText = (1 to 6).map(i => s"b$i").mkString(" ") // 6 words
+    val bench = Seq(Tuple1(benchText)).toDF("text")
+    val corpus = Seq(
+      // embeds the full benchmark text mid-document: 4-gram windows over
+      // 10 words = 7 grams, of which positions 3..5 lie inside the
+      // benchmark span (b1..b6 has 3 of its own 4-grams)
+      (1L, "a1 a2 " + benchText + " a3 a4"),
+      (2L, "c1 c2 c3 c4 c5 c6"), // disjoint vocab: 3 grams, 0 hits
+      (3L, "c1 c2 c3"),          // shorter than n: no grams, clean
+      (4L, benchText)            // the benchmark doc itself in-corpus
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.decontamStats(corpus, bench, n = 4)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(byId(1L) === ((7L, 3L, 1)))
+    assert(byId(2L) === ((3L, 0L, 0)))
+    assert(byId(3L) === ((0L, 0L, 0)))
+    assert(byId(4L) === ((3L, 3L, 1)))
+  }
+
+  test("decontamStats: benchmark membership probe is a broadcast join") {
+    val bench = Seq(Tuple1("b1 b2 b3 b4")).toDF("text")
+    val corpus = Seq((1L, "b1 b2 b3 b4 x")).toDF("doc_id", "text")
+    val plan = CorpusStats.decontamStats(corpus, bench, n = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      plan)
+  }
 }

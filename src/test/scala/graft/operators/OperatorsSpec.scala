@@ -66,6 +66,29 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("windowDupStats: planted copies flagged, short and repetitive docs exact") {
+    import spark.implicits._
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")  // 30 words, unique
+    val b = (1 to 30).map(i => s"x$i").mkString(" ")
+    val rep = Array.fill(5)("r1 r2 r3 r4 r5").mkString(" ") // 25 words, 5-word period
+    val df = Seq(
+      (0L, a), (1L, b), (2L, a),      // doc 2 is a full copy of doc 0
+      (3L, "too short"),              // < 10 words -> zero windows, keep
+      (4L, rep)                       // internally repetitive
+    ).toDF("doc_id", "text")
+    val out = Dedup.windowDupStats(df).orderBy("doc_id").collect()
+    // docs 0 and 2: 21 windows each, every one duplicated by the copy
+    assert(out(0).getLong(1) === 21L && out(0).getLong(2) === 21L && out(0).getInt(3) === 0)
+    assert(out(2).getLong(1) === 21L && out(2).getLong(2) === 21L && out(2).getInt(3) === 0)
+    // doc 1: unique text, nothing duplicated
+    assert(out(1).getLong(1) === 21L && out(1).getLong(2) === 0L && out(1).getInt(3) === 1)
+    // doc 3: below window size -> (0, 0, keep)
+    assert(out(3).getLong(1) === 0L && out(3).getLong(2) === 0L && out(3).getInt(3) === 1)
+    // doc 4: 16 windows; the 5-word period makes every window recur
+    // WITHIN the doc (window i equals window i+5), so all 16 are dups
+    assert(out(4).getLong(1) === 16L && out(4).getLong(2) === 16L && out(4).getInt(3) === 0)
+  }
+
   test("cluster collapse: connected components + keeper semantics") {
     import spark.implicits._
     // components: {1,2,3,4} (chain), {10,11}, singleton 20 untouched
