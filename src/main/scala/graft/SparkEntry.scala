@@ -390,6 +390,21 @@ object SparkEntry {
         .select(synthHost(col("doc_id")).as("host"), col("source"), col("n_chars"))
       graft.operators.CorpusStats.hostProfile(docs).orderBy("host")
     }),
+    // ----- per-host quota over the deliberately skewed synthetic hosts
+    //       (half the corpus on one hot host): keep the 5 lowest doc_ids
+    //       per host; the hot host rides the salted two-stage top-K path,
+    //       the ~194 cold hosts never enter a window -----
+    "q_host_cap" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), synthHost(col("doc_id")).as("host"))
+      graft.operators.CorpusStats.hostCapStats(docs, cap = 5)
+        .orderBy("doc_id")
+    }),
+    // ----- deterministic train/val/test assignment: md5('v1:'||doc_id)
+    //       bucketed on the first two hex chars, stable under growth -----
+    "q_split_assign" -> ((s, dir) =>
+      graft.operators.CorpusStats.splitAssign(tbl(s, dir, "documents"))
+        .orderBy("doc_id")),
     // ----- UT1/RefinedWeb-style URL blocklist verdicts: suffix-set
     //       explode turns subdomain matching into a broadcast equality
     //       join ("example.com" blocks every subdomain) -----
@@ -983,6 +998,23 @@ object SparkEntry {
         "SELECT host, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(count(DISTINCT source) AS BIGINT) AS n_sources, " +
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM h GROUP BY host ORDER BY host"),
+    // the oracle's single host-window row_number is the SPECIFICATION the
+    // salted two-stage top-K must reproduce exactly (keep the 5 lowest
+    // doc_ids per host)
+    "q_host_cap" ->
+      (s"WITH h AS (SELECT doc_id, $synthHostSql AS host FROM documents), " +
+        "c AS (SELECT host, CAST(count(*) AS BIGINT) AS n_host_docs FROM h GROUP BY host), " +
+        "r AS (SELECT doc_id, host, row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn FROM h) " +
+        "SELECT r.doc_id, r.host, c.n_host_docs, " +
+        "CASE WHEN r.rn <= 5 THEN 1 ELSE 0 END AS kept " +
+        "FROM r JOIN c USING (host) ORDER BY r.doc_id"),
+    // md5 hex is engine-identical; thresholds compare lexicographically on
+    // the first two hex chars (1/256 granularity)
+    "q_split_assign" ->
+      ("SELECT doc_id, substr(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket, " +
+        "CASE WHEN substr(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train' " +
+        "WHEN substr(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val' " +
+        "ELSE 'test' END AS split FROM documents ORDER BY doc_id"),
     // suffix set via list_slice over dot-split labels; blocked = any
     // suffix intersects the blocklist (same semantics as the exploded
     // equality join on the Spark side)

@@ -124,6 +124,87 @@ object CorpusStats {
         (col("n_rare_tokens") * 5 <= col("n_tokens")).cast("int"))
   }
 
+  /**
+   * Per-host document quota (the domain-balancing pass every open corpus
+   * applies so one hot host cannot dominate the training mix): keep the
+   * `cap` lowest-`idCol` documents of each host, flag the rest. The
+   * reference has no host notion at all (it keys on the bare url,
+   * /root/reference/src/queue.py:24-33).
+   *
+   * Scale shape (100 TB): the naive spelling is one window partitioned by
+   * host — which serializes the hot host (double-digit percent of a real
+   * crawl) onto a single task. Instead:
+   *   1. host counts aggregate map-side (tiny rows);
+   *   2. rows of under-cap hosts are kept outright — they never enter a
+   *      window;
+   *   3. rows of over-cap hosts first rank inside (host, salt) — the hot
+   *      host fans across `salts` partitions — and only the ≤ cap
+   *      candidates per salt (a row below ≥ cap smaller ids within its
+   *      own salt can never be a global keeper) proceed to the final
+   *      per-host rank over ≤ salts·cap rows.
+   * Both windows move (id, host) pairs only; text never shuffles.
+   *
+   * Output: (idCol, hostCol, n_host_docs, kept 0/1).
+   */
+  def hostCapStats(df: DataFrame, hostCol: String = "host",
+                   idCol: String = "doc_id", cap: Int = 5,
+                   salts: Int = 16): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(hostCol))
+      .agg(count(lit(1)).cast("long").as("n_host_docs"))
+    val base = df.select(col(idCol), col(hostCol))
+      .join(counts, Seq(hostCol))
+    val under = base.filter(col("n_host_docs") <= cap)
+      .withColumn("kept", lit(1))
+    val overRows = base.filter(col("n_host_docs") > cap)
+    val w1 = Window
+      .partitionBy(col(hostCol), pmod(xxhash64(col(idCol)), lit(salts)))
+      .orderBy(col(idCol))
+    val candidates = overRows
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= cap)
+    val w2 = Window.partitionBy(col(hostCol)).orderBy(col(idCol))
+    val keepers = candidates
+      .withColumn("r2", row_number().over(w2))
+      .filter(col("r2") <= cap)
+      .select(col(idCol), lit(1).as("k"))
+    val overVerdict = overRows.join(keepers, Seq(idCol), "left")
+      .withColumn("kept", coalesce(col("k"), lit(0)))
+    under.select(col(idCol), col(hostCol), col("n_host_docs"), col("kept"))
+      .unionByName(overVerdict
+        .select(col(idCol), col(hostCol), col("n_host_docs"), col("kept")))
+  }
+
+  /**
+   * Deterministic train/val/test split assignment — the held-out-split
+   * discipline a training-data build needs BEFORE any model sees the
+   * corpus. Assignment hashes `salt:id` with md5 and buckets on the first
+   * two hex characters (1/256 granularity): bucket < 'e6' → train
+   * (230/256 ≈ 89.8%), < 'f3' → val (13/256 ≈ 5.1%), else test.
+   *
+   * Why md5-of-id and not rand(): the split must be (a) reproducible
+   * across reruns and resume (the pipeline is checkpointed), (b) stable
+   * under corpus growth — adding documents never reassigns existing ones
+   * (each row's verdict is a pure function of its own id), and (c)
+   * engine-portable for verification (md5 hex is identical everywhere).
+   * Pure codegen projection: no shuffle, no UDF, no state.
+   *
+   * Output: (idCol, bucket, split).
+   */
+  def splitAssign(df: DataFrame, idCol: String = "doc_id",
+                  salt: String = "v1"): DataFrame = {
+    val bucket = substring(
+      md5(concat(lit(salt + ":"), col(idCol).cast("string")).cast("binary")),
+      1, 2)
+    df.select(col(idCol), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < "e6", "train")
+          .when(col("bucket") < "f3", "val")
+          .otherwise("test"))
+  }
+
   /** xxhash64 of every length-`n` token n-gram of a text column (stride 1),
     * computed in the scan projection with codegen built-ins. Short texts
     * (< n tokens) yield an empty array — guarded explicitly because

@@ -111,6 +111,68 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out.map(_.getInt(3)).toSeq === Seq(1, 1))
   }
 
+  // -------------------------------------------------------- hostCapStats
+  test("hostCapStats: salted two-stage top-K equals the single-window spec") {
+    // skewed corpus: one hot host with 500 docs, 20 cold hosts with 1-7
+    val rows = (0L until 500L).map(i => (i, "hot.example.com")) ++
+      (0 until 20).flatMap(h => (0 to h % 7).map(j => (1000L + h * 10 + j, s"cold$h.example.org")))
+    val df = rows.toDF("doc_id", "host")
+    val out = CorpusStats.hostCapStats(df, cap = 5, salts = 8)
+      .orderBy("doc_id").collect()
+    // reference verdict: keep the 5 lowest doc_ids per host
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val ref = df.withColumn("rn",
+        row_number().over(Window.partitionBy("host").orderBy("doc_id")))
+      .withColumn("kept", (col("rn") <= 5).cast("int"))
+      .orderBy("doc_id").select("doc_id", "host", "kept").collect()
+    assert(out.length === ref.length)
+    out.zip(ref).foreach { case (a, b) =>
+      assert(a.getLong(0) === b.getLong(0))
+      assert(a.getInt(3) === b.getInt(2), s"doc ${a.getLong(0)}")
+    }
+    // hot host keeps exactly cap; a fully-under-cap host keeps everything
+    val hot = out.filter(_.getString(1) == "hot.example.com")
+    assert(hot.count(_.getInt(3) == 1) === 5)
+    assert(hot.filter(_.getInt(3) == 1).map(_.getLong(0)).toSeq === (0L to 4L))
+    val cold0 = out.filter(_.getString(1) == "cold0.example.org")
+    assert(cold0.forall(_.getInt(3) == 1))
+    // n_host_docs reported per row
+    assert(hot.head.getLong(2) === 500L)
+  }
+
+  test("hostCapStats: over-cap hosts rank inside (host, salt) first") {
+    val df = (0L until 100L).map(i => (i, "hot.example.com")).toDF("doc_id", "host")
+    val plan = CorpusStats.hostCapStats(df, cap = 3, salts = 8)
+      .queryExecution.optimizedPlan.toString
+    // two windows: the salted candidate stage and the final per-host rank
+    assert(plan.sliding("Window".length).count(_ == "Window") >= 2, plan)
+    assert(plan.contains("pmod") || plan.contains("xxhash64"), plan)
+  }
+
+  // -------------------------------------------------------- splitAssign
+  test("splitAssign: deterministic, stable under growth, sane proportions") {
+    val a = (0L until 2000L).map(Tuple1(_)).toDF("doc_id")
+    val out = CorpusStats.splitAssign(a).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    // rerun identical (no rand() anywhere)
+    val again = CorpusStats.splitAssign(a).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(out === again)
+    // growth stability: the first 500 ids keep their verdicts inside a
+    // larger corpus (pure per-row function of id)
+    val small = CorpusStats.splitAssign((0L until 500L).map(Tuple1(_)).toDF("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    small.foreach { case (id, s) => assert(out(id) === s) }
+    // proportions near 230/13/13 out of 256
+    val n = out.size.toDouble
+    val train = out.values.count(_ == "train") / n
+    val valf = out.values.count(_ == "val") / n
+    assert(train > 0.85 && train < 0.93, s"train=$train")
+    assert(valf > 0.02 && valf < 0.09, s"val=$valf")
+    assert(out.values.toSet === Set("train", "val", "test"))
+  }
+
   // -------------------------------------------------------- decontamStats
   test("decontamStats: shared n-grams with the benchmark flag a doc; counts exact") {
     val benchText = (1 to 6).map(i => s"b$i").mkString(" ") // 6 words
