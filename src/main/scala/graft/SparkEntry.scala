@@ -118,6 +118,23 @@ object SparkEntry {
       "CASE WHEN doc_id % 3 = 0 THEN 'blog.example.org' " +
       "ELSE 'shop.example.net' END END"
 
+  // Target training-mix keep fractions: one oversampled (keep-all) source,
+  // two downsampled, one fully excluded; the other 16 synthetic sources are
+  // deliberately unlisted (mixSample drops unvetted sources).
+  private val mixRates: Map[String, Double] =
+    Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.0)
+  // CASE arms carry the exact hex-threshold literals the Spark side
+  // compares against (rateToHexThreshold), so parity is by construction.
+  private def mixSampleOracleSql: String = {
+    val arms = mixRates.toSeq.sortBy(_._1).map { case (s, r) =>
+      s"WHEN source = '$s' AND substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) " +
+        s"< '${graft.operators.CorpusStats.rateToHexThreshold(r)}' THEN 1"
+    }.mkString(" ")
+    "SELECT doc_id, source, " +
+      "substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) AS u_hex, " +
+      s"CASE $arms ELSE 0 END AS kept FROM documents ORDER BY doc_id"
+  }
+
   // GPT-2-ish piece pattern without lookahead (RE2 has none): contractions,
   // optional-space letter runs, digit runs, punctuation runs, whitespace runs.
   private val BpeishPattern =
@@ -405,6 +422,17 @@ object SparkEntry {
     "q_split_assign" -> ((s, dir) =>
       graft.operators.CorpusStats.splitAssign(tbl(s, dir, "documents"))
         .orderBy("doc_id")),
+    // ----- sequence-packing plan: global start offset + bin id via the
+    //       two-phase distributed prefix sum (never a global window) -----
+    "q_pack_bins" -> ((s, dir) =>
+      graft.operators.Packing.packStats(tbl(s, dir, "documents"),
+        binSize = 20000L, nBuckets = 32).orderBy("doc_id")),
+    // ----- deterministic corpus-mix sampling: per-source keep fractions
+    //       as hex-string thresholds on md5('mix:'||doc_id); unlisted
+    //       sources drop -----
+    "q_mix_sample" -> ((s, dir) =>
+      graft.operators.CorpusStats.mixSample(tbl(s, dir, "documents"),
+        mixRates).orderBy("doc_id")),
     // ----- UT1/RefinedWeb-style URL blocklist verdicts: suffix-set
     //       explode turns subdomain matching into a broadcast equality
     //       join ("example.com" blocks every subdomain) -----
@@ -1015,6 +1043,19 @@ object SparkEntry {
         "CASE WHEN substr(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train' " +
         "WHEN substr(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val' " +
         "ELSE 'test' END AS split FROM documents ORDER BY doc_id"),
+    // the oracle's single global window is the SPECIFICATION the two-phase
+    // distributed prefix sum must reproduce; sums cast to BIGINT (DuckDB
+    // sum(BIGINT) is HUGEINT), bin via `//` integer division
+    "q_pack_bins" ->
+      ("WITH p AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, " +
+        "CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+        "AS start_offset FROM documents) " +
+        "SELECT doc_id, n_chars, start_offset, " +
+        "CAST(start_offset // 20000 AS BIGINT) AS bin FROM p ORDER BY doc_id"),
+    // thresholds are the very same literals CorpusStats.rateToHexThreshold
+    // feeds the Spark side — both engines compare lowercase hex strings
+    "q_mix_sample" -> mixSampleOracleSql,
     // suffix set via list_slice over dot-split labels; blocked = any
     // suffix intersects the blocklist (same semantics as the exploded
     // equality join on the Spark side)

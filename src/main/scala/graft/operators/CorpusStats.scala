@@ -205,6 +205,58 @@ object CorpusStats {
           .otherwise("test"))
   }
 
+  /**
+   * Deterministic corpus-mix sampling — the source-weighting pass that
+   * turns raw per-source volumes into a target training mix (Pile/Dolma
+   * style: oversampled curated sources, downsampled crawl). Each source
+   * gets a keep-fraction; a document is kept iff the first 8 hex chars
+   * of md5('mix:'‖id) compare lexicographically below the source's
+   * threshold string `floor(rate·2³²)` rendered as 8 lowercase hex chars
+   * (rate ≥ 1.0 ⇒ threshold "g", above every hex string, so keep-all is
+   * exact). Hex-string comparison makes the verdict engine-portable with
+   * NO float anywhere, and md5-of-id makes it reproducible across
+   * reruns/resume and stable under corpus growth — the same discipline
+   * as [[splitAssign]].
+   *
+   * Scale shape (100 TB): the rates map is config-sized — it broadcasts;
+   * the verdict is a pure codegen projection after the broadcast hash
+   * join. No shuffle, no state, text never moves. A source absent from
+   * the map is dropped (kept = 0), the conservative default for an
+   * unvetted source.
+   *
+   * Output: (idCol, srcCol, u_hex, kept 0/1).
+   */
+  def mixSample(df: DataFrame, rates: Map[String, Double],
+                idCol: String = "doc_id",
+                srcCol: String = "source"): DataFrame = {
+    require(rates.nonEmpty, "rates must not be empty")
+    rates.foreach { case (s, r) =>
+      require(r >= 0.0, s"rate for '$s' must be >= 0, got $r")
+    }
+    val spark = df.sparkSession
+    val thr = rates.toSeq.map { case (s, r) => (s, rateToHexThreshold(r)) }
+    val thrDf = spark.createDataFrame(thr).toDF(srcCol, "_thr")
+    val u = substring(
+      md5(concat(lit("mix:"), col(idCol).cast("string")).cast("binary")),
+      1, 8)
+    df.select(col(idCol), col(srcCol))
+      .withColumn("u_hex", u)
+      .join(org.apache.spark.sql.functions.broadcast(thrDf),
+        Seq(srcCol), "left")
+      .withColumn("kept",
+        when(col("_thr").isNotNull && col("u_hex") < col("_thr"), 1)
+          .otherwise(0))
+      .select(col(idCol), col(srcCol), col("u_hex"), col("kept"))
+  }
+
+  /** The 8-hex-char threshold string for a keep fraction: floor(rate·2³²)
+    * zero-padded lowercase hex; rate ≥ 1.0 ⇒ "g" (sorts above every hex
+    * string, exact keep-all). Exposed so oracle SQL can embed the very
+    * same literals. */
+  def rateToHexThreshold(rate: Double): String =
+    if (rate >= 1.0) "g"
+    else f"${math.max(0L, (rate * 4294967296.0).toLong)}%08x"
+
   /** xxhash64 of every length-`n` token n-gram of a text column (stride 1),
     * computed in the scan projection with codegen built-ins. Short texts
     * (< n tokens) yield an empty array — guarded explicitly because

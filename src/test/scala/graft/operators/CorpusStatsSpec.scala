@@ -173,6 +173,49 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out.values.toSet === Set("train", "val", "test"))
   }
 
+  // -------------------------------------------------------- mixSample
+  test("mixSample: verdicts match an independent md5 reference") {
+    val rates = Map("a" -> 1.0, "b" -> 0.5, "c" -> 0.0)
+    val rows = (0L until 400L).map(i =>
+      (i, Seq("a", "b", "c", "unlisted")(i.toInt % 4)))
+    val out = CorpusStats.mixSample(rows.toDF("doc_id", "source"), rates)
+      .orderBy("doc_id").collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.zip(out).foreach { case ((id, src), r) =>
+      val hex = md.digest(s"mix:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      assert(r.getString(2) === hex, s"doc $id")
+      val expected = rates.get(src) match {
+        case Some(rate) if hex < CorpusStats.rateToHexThreshold(rate) => 1
+        case _ => 0
+      }
+      assert(r.getInt(3) === expected, s"doc $id src $src")
+    }
+    // rate 1.0 keeps every doc; rate 0.0 and unlisted keep none
+    val bySrc = out.groupBy(_.getString(1))
+    assert(bySrc("a").forall(_.getInt(3) == 1))
+    assert(bySrc("c").forall(_.getInt(3) == 0))
+    assert(bySrc("unlisted").forall(_.getInt(3) == 0))
+    // rate 0.5 keeps roughly half (md5 is uniform)
+    val bFrac = bySrc("b").count(_.getInt(3) == 1).toDouble / bySrc("b").length
+    assert(bFrac > 0.3 && bFrac < 0.7, s"bFrac=$bFrac")
+  }
+
+  test("mixSample: the rates join broadcasts") {
+    val df = (0L until 50L).map(i => (i, "a")).toDF("doc_id", "source")
+    val plan = CorpusStats.mixSample(df, Map("a" -> 0.5))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("rateToHexThreshold: keep-all sorts above every hex string, fractions are exact") {
+    assert(CorpusStats.rateToHexThreshold(1.0) === "g")
+    assert(CorpusStats.rateToHexThreshold(0.5) === "80000000")
+    assert(CorpusStats.rateToHexThreshold(0.25) === "40000000")
+    assert(CorpusStats.rateToHexThreshold(0.0) === "00000000")
+    assert("ffffffff" < "g")
+  }
+
   // -------------------------------------------------------- decontamStats
   test("decontamStats: shared n-grams with the benchmark flag a doc; counts exact") {
     val benchText = (1 to 6).map(i => s"b$i").mkString(" ") // 6 words
