@@ -433,6 +433,12 @@ object SparkEntry {
     "q_mix_sample" -> ((s, dir) =>
       graft.operators.CorpusStats.mixSample(tbl(s, dir, "documents"),
         mixRates).orderBy("doc_id")),
+    // ----- exact per-source length quantiles via the value-histogram
+    //       cumulation (windows run over distinct lengths, never raw
+    //       rows); integer target ranks, percentile_disc semantics -----
+    "q_len_quantiles" -> ((s, dir) =>
+      graft.operators.CorpusStats.lengthQuantiles(tbl(s, dir, "documents"))
+        .orderBy("source")),
     // ----- UT1/RefinedWeb-style URL blocklist verdicts: suffix-set
     //       explode turns subdomain matching into a broadcast equality
     //       join ("example.com" blocks every subdomain) -----
@@ -1056,6 +1062,19 @@ object SparkEntry {
     // thresholds are the very same literals CorpusStats.rateToHexThreshold
     // feeds the Spark side — both engines compare lowercase hex strings
     "q_mix_sample" -> mixSampleOracleSql,
+    // the same histogram-cumulation spelled in SQL: k-th smallest with
+    // k = (n*pct+99)//100; SUM OVER casts (DuckDB sum(BIGINT) is HUGEINT)
+    "q_len_quantiles" ->
+      ("WITH h AS (SELECT source, CAST(n_chars AS BIGINT) AS v, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1, 2), " +
+        "c AS (SELECT source, v, cnt, CAST(SUM(cnt) OVER (PARTITION BY source " +
+        "ORDER BY v) AS BIGINT) AS cum FROM h), " +
+        "t AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot FROM h GROUP BY 1) " +
+        "SELECT c.source, CAST(max(tot) AS BIGINT) AS n_docs, " +
+        "CAST(min(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN v END) AS BIGINT) AS p50, " +
+        "CAST(min(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN v END) AS BIGINT) AS p90, " +
+        "CAST(min(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN v END) AS BIGINT) AS p99 " +
+        "FROM c JOIN t USING (source) GROUP BY c.source ORDER BY c.source"),
     // suffix set via list_slice over dot-split labels; blocked = any
     // suffix intersects the blocklist (same semantics as the exploded
     // equality join on the Spark side)

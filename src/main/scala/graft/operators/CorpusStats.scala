@@ -249,6 +249,44 @@ object CorpusStats {
       .select(col(idCol), col(srcCol), col("u_hex"), col("kept"))
   }
 
+  /**
+   * Exact per-group value quantiles (percentile_disc semantics: the
+   * k = ⌈pct·n/100⌉-th smallest value) — the corpus QA report a data
+   * build reads before setting truncation caps and length filters.
+   *
+   * Scale shape (100 TB): sorting each group's raw rows would put every
+   * hot source through one task. Instead this is the value-HISTOGRAM
+   * quantile: phase one collapses the corpus to (group, value) counts
+   * with map-side combine, so the per-group window in phase two runs over
+   * AT MOST |value domain| rows per group — bounded by the length cap
+   * (the kernel truncates at a fixed code-point budget), NOT by corpus
+   * size. Target ranks use pure integer arithmetic ((tot·pct+99) div
+   * 100): no float anywhere, exact and engine-portable.
+   *
+   * Output: (groupCol, n_docs, p50, p90, p99).
+   */
+  def lengthQuantiles(df: DataFrame, groupCol: String = "source",
+                      valCol: String = "n_chars",
+                      pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must be in [1,100], got $pcts")
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(groupCol), col(valCol).cast("long").as("v"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    val tot = hist.groupBy(col(groupCol))
+      .agg(sum(col("cnt")).cast("long").as("tot"))
+    val aggs = pcts.map { p =>
+      min(when(col("cum") >= expr(s"(tot * $p + 99) div 100"), col("v")))
+        .as(s"p$p")
+    }
+    cum.join(tot, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(max(col("tot")).as("n_docs"), aggs: _*)
+  }
+
   /** The 8-hex-char threshold string for a keep fraction: floor(rate·2³²)
     * zero-padded lowercase hex; rate ≥ 1.0 ⇒ "g" (sorts above every hex
     * string, exact keep-all). Exposed so oracle SQL can embed the very

@@ -173,6 +173,40 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out.values.toSet === Set("train", "val", "test"))
   }
 
+  // -------------------------------------------------------- lengthQuantiles
+  test("lengthQuantiles: exact percentile_disc on ties, singletons, uniform groups") {
+    val rng = new scala.util.Random(42)
+    val rows = (0 until 500).map(i => ("s" + i % 3, (rng.nextInt(40) + 1).toLong)) ++
+      Seq(("lonely", 7L)) ++ (0 until 20).map(_ => ("flat", 13L))
+    val out = CorpusStats.lengthQuantiles(rows.toDF("source", "n_chars"))
+      .orderBy("source").collect()
+    def disc(vs: Seq[Long], pct: Int): Long = {
+      val sorted = vs.sorted
+      sorted(((vs.size.toLong * pct + 99) / 100).toInt - 1)
+    }
+    val byGroup = rows.groupBy(_._1)
+    out.foreach { r =>
+      val vs = byGroup(r.getString(0)).map(_._2)
+      assert(r.getLong(1) === vs.size.toLong, r.getString(0))
+      assert(r.getLong(2) === disc(vs, 50), s"${r.getString(0)} p50")
+      assert(r.getLong(3) === disc(vs, 90), s"${r.getString(0)} p90")
+      assert(r.getLong(4) === disc(vs, 99), s"${r.getString(0)} p99")
+    }
+    val flat = out.find(_.getString(0) == "flat").get
+    assert((2 to 4).forall(flat.getLong(_) == 13L))
+    val lonely = out.find(_.getString(0) == "lonely").get
+    assert((2 to 4).forall(lonely.getLong(_) == 7L))
+  }
+
+  test("lengthQuantiles: the window runs over the histogram, not raw rows") {
+    val df = (0 until 100).map(i => ("s", (i % 5).toLong)).toDF("source", "n_chars")
+    val plan = CorpusStats.lengthQuantiles(df)
+      .queryExecution.optimizedPlan.toString
+    // histogram aggregate BELOW the window + the final quantile aggregate
+    assert(plan.sliding("Aggregate".length).count(_ == "Aggregate") >= 2, plan)
+    assert(plan.contains("windowspecdefinition(source"), plan)
+  }
+
   // -------------------------------------------------------- mixSample
   test("mixSample: verdicts match an independent md5 reference") {
     val rates = Map("a" -> 1.0, "b" -> 0.5, "c" -> 0.0)
