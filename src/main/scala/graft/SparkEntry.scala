@@ -135,6 +135,30 @@ object SparkEntry {
       s"CASE $arms ELSE 0 END AS kept FROM documents ORDER BY doc_id"
   }
 
+  // Absolute per-source char budgets: src0's exceeds every SF's total
+  // (exercises the keep-all arm), src1/src2 force partial rates that VARY
+  // by SF (both engines derive them from the data), src4 is a zero budget.
+  private val budgetTargets: Map[String, Long] =
+    Map("src0" -> 10000000L, "src1" -> 5000L, "src2" -> 50000L, "src4" -> 0L)
+  // every CASE arm recomputes the exact integer threshold from the same
+  // spec budgetToHexThreshold implements: keep-all when target >= total,
+  // else (target*2^32)//total as padded lowercase hex (HUGEINT math)
+  private def budgetSampleOracleSql: String = {
+    val arms = budgetTargets.toSeq.sortBy(_._1).map { case (s, t) =>
+      s"WHEN '$s' THEN CASE WHEN $t >= tot THEN 'g' ELSE " +
+        s"lpad(lower(hex(CAST((CAST($t AS HUGEINT) * 4294967296) // tot AS BIGINT))), 8, '0') END"
+    }.mkString(" ")
+    "WITH t AS (SELECT source, CAST(SUM(n_chars) AS HUGEINT) AS tot " +
+      "FROM documents GROUP BY 1), " +
+      s"thr AS (SELECT source, CASE source $arms END AS th FROM t) " +
+      "SELECT d.doc_id, d.source, " +
+      "substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS u_hex, " +
+      "CASE WHEN th IS NOT NULL AND " +
+      "substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < th THEN 1 " +
+      "ELSE 0 END AS kept " +
+      "FROM documents d LEFT JOIN thr USING (source) ORDER BY d.doc_id"
+  }
+
   // GPT-2-ish piece pattern without lookahead (RE2 has none): contractions,
   // optional-space letter runs, digit runs, punctuation runs, whitespace runs.
   private val BpeishPattern =
@@ -439,6 +463,12 @@ object SparkEntry {
     "q_len_quantiles" -> ((s, dir) =>
       graft.operators.CorpusStats.lengthQuantiles(tbl(s, dir, "documents"))
         .orderBy("source")),
+    // ----- absolute char-budget sampling: keep fractions DERIVED from
+    //       per-source totals in exact integer math ((target<<32)/total);
+    //       src0's budget exceeds every SF's total (keep-all arm) -----
+    "q_budget_sample" -> ((s, dir) =>
+      graft.operators.CorpusStats.budgetSample(tbl(s, dir, "documents"),
+        budgetTargets).orderBy("doc_id")),
     // ----- UT1/RefinedWeb-style URL blocklist verdicts: suffix-set
     //       explode turns subdomain matching into a broadcast equality
     //       join ("example.com" blocks every subdomain) -----
@@ -1075,6 +1105,9 @@ object SparkEntry {
         "CAST(min(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN v END) AS BIGINT) AS p90, " +
         "CAST(min(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN v END) AS BIGINT) AS p99 " +
         "FROM c JOIN t USING (source) GROUP BY c.source ORDER BY c.source"),
+    // thresholds derived IN SQL from the same integer spec the Spark side
+    // computes driver-side (budgetToHexThreshold)
+    "q_budget_sample" -> budgetSampleOracleSql,
     // suffix set via list_slice over dot-split labels; blocked = any
     // suffix intersects the blocklist (same semantics as the exploded
     // equality join on the Spark side)

@@ -233,14 +233,79 @@ object CorpusStats {
     rates.foreach { case (s, r) =>
       require(r >= 0.0, s"rate for '$s' must be >= 0, got $r")
     }
-    val spark = df.sparkSession
-    val thr = rates.toSeq.map { case (s, r) => (s, rateToHexThreshold(r)) }
-    val thrDf = spark.createDataFrame(thr).toDF(srcCol, "_thr")
-    val u = substring(
-      md5(concat(lit("mix:"), col(idCol).cast("string")).cast("binary")),
-      1, 8)
+    sampleByThreshold(df,
+      rates.toSeq.map { case (s, r) => (s, rateToHexThreshold(r)) },
+      idCol, srcCol)
+  }
+
+  /**
+   * Absolute-budget corpus sampling: instead of hand-set fractions
+   * ([[mixSample]]), each source gets a target cost budget (tokens /
+   * chars) and the keep fraction is DERIVED from the corpus —
+   * `rate = target / total_cost(source)`, capped at keep-all. The
+   * threshold is computed in EXACT integer arithmetic
+   * (`(target << 32) / total`, keep-all when target ≥ total), so the
+   * verdict is engine-portable with no float anywhere and the oracle can
+   * recompute the very same thresholds in SQL
+   * (`(HUGEINT(target)·2³²) // total` rendered as padded lowercase hex).
+   * Expected kept cost per source ≈ its target (md5-uniform ids,
+   * cost uncorrelated with the hash).
+   *
+   * Scale shape (100 TB): phase one is one map-side-combined aggregate
+   * to per-source totals — one row PER SOURCE to the driver (sources are
+   * config-sized, the same documented-bounded discipline as the rates
+   * map itself); phase two is [[mixSample]]'s broadcast-join projection.
+   *
+   * Output: (idCol, srcCol, u_hex, kept 0/1); unlisted sources drop.
+   */
+  def budgetSample(df: DataFrame, targets: Map[String, Long],
+                   idCol: String = "doc_id", srcCol: String = "source",
+                   costCol: String = "n_chars"): DataFrame = {
+    require(targets.nonEmpty, "targets must not be empty")
+    targets.foreach { case (s, t) =>
+      require(t >= 0L, s"target for '$s' must be >= 0, got $t")
+    }
+    val tots = df.groupBy(col(srcCol))
+      .agg(sum(col(costCol).cast("long")).as("tot"))
+      .collect().flatMap(r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) None
+        else Some(r.getString(0) -> r.getLong(1))).toMap
+    val thresholds = targets.toSeq.flatMap { case (s, tgt) =>
+      tots.get(s).filter(_ > 0L).map { tot =>
+        s -> budgetToHexThreshold(tgt, tot)
+      }
+    }
+    if (thresholds.isEmpty)
+      df.select(col(idCol), col(srcCol))
+        .withColumn("u_hex", uHex(idCol)).withColumn("kept", lit(0))
+    else sampleByThreshold(df, thresholds, idCol, srcCol)
+  }
+
+  /** Exact integer threshold for an absolute budget: keep-all ("g") when
+    * target ≥ total, else ⌊target·2³²/total⌋ as 8 lowercase hex chars —
+    * BigInt intermediate so petabyte-scale totals cannot overflow.
+    * Exposed so oracle SQL can mirror it with HUGEINT `//`. */
+  def budgetToHexThreshold(target: Long, total: Long): String = {
+    require(total > 0L, s"total must be > 0, got $total")
+    if (target >= total) "g"
+    else f"${((BigInt(target) << 32) / BigInt(total)).toLong}%08x"
+  }
+
+  private def uHex(idCol: String): Column = substring(
+    md5(concat(lit("mix:"), col(idCol).cast("string")).cast("binary")),
+    1, 8)
+
+  /** Shared verdict projection: broadcast the (source → hex threshold)
+    * table, keep iff u_hex < threshold; sources without a threshold row
+    * drop. */
+  private def sampleByThreshold(df: DataFrame,
+                                thresholds: Seq[(String, String)],
+                                idCol: String,
+                                srcCol: String): DataFrame = {
+    val thrDf = df.sparkSession.createDataFrame(thresholds)
+      .toDF(srcCol, "_thr")
     df.select(col(idCol), col(srcCol))
-      .withColumn("u_hex", u)
+      .withColumn("u_hex", uHex(idCol))
       .join(org.apache.spark.sql.functions.broadcast(thrDf),
         Seq(srcCol), "left")
       .withColumn("kept",

@@ -250,6 +250,40 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert("ffffffff" < "g")
   }
 
+  // -------------------------------------------------------- budgetSample
+  test("budgetSample: derived keep fraction lands the kept cost near the budget") {
+    // source "a": 1000 docs x 100 chars = 100k total, budget 25k -> rate 1/4
+    // source "b": 200 docs, budget exceeds total -> keep all
+    // source "c": no budget -> drop all
+    val rows = (0L until 1000L).map(i => (i, "a", 100L)) ++
+      (1000L until 1200L).map(i => (i, "b", 50L)) ++
+      (1200L until 1300L).map(i => (i, "c", 10L))
+    val out = CorpusStats.budgetSample(rows.toDF("doc_id", "source", "n_chars"),
+        Map("a" -> 25000L, "b" -> 999999L))
+      .orderBy("doc_id").collect()
+    val bySrc = out.groupBy(_.getString(1))
+    assert(bySrc("b").forall(_.getInt(3) == 1))
+    assert(bySrc("c").forall(_.getInt(3) == 0))
+    val keptCostA = bySrc("a").count(_.getInt(3) == 1) * 100L
+    assert(keptCostA > 15000L && keptCostA < 35000L, s"keptCostA=$keptCostA")
+    // verdicts reproduce the exact threshold spec
+    val th = CorpusStats.budgetToHexThreshold(25000L, 100000L)
+    bySrc("a").foreach { r =>
+      assert(r.getInt(3) === (if (r.getString(2) < th) 1 else 0))
+    }
+  }
+
+  test("budgetToHexThreshold: exact integer spec, overflow-safe") {
+    assert(CorpusStats.budgetToHexThreshold(1L, 1L) === "g")
+    assert(CorpusStats.budgetToHexThreshold(2L, 1L) === "g")
+    assert(CorpusStats.budgetToHexThreshold(0L, 7L) === "00000000")
+    assert(CorpusStats.budgetToHexThreshold(500L, 1500L) === "55555555")
+    assert(CorpusStats.budgetToHexThreshold(1L, 2L) === "80000000")
+    // petabyte-scale totals: (target << 32) would overflow a Long
+    assert(CorpusStats.budgetToHexThreshold(5000000000000L, 10000000000000L)
+      === "80000000")
+  }
+
   // -------------------------------------------------------- decontamStats
   test("decontamStats: shared n-grams with the benchmark flag a doc; counts exact") {
     val benchText = (1 to 6).map(i => s"b$i").mkString(" ") // 6 words
