@@ -112,11 +112,12 @@ object SparkEntry {
       .otherwise(concat(lit("h"), pmod(d, lit(97)).cast("string"), lit("."),
         when(pmod(d, lit(3)) === 0, lit("blog.example.org"))
           .otherwise(lit("shop.example.net"))))
-  private val synthHostSql: String =
-    "CASE WHEN doc_id % 2 = 0 THEN 'big.news.example.com' " +
-      "ELSE 'h' || CAST(doc_id % 97 AS VARCHAR) || '.' || " +
-      "CASE WHEN doc_id % 3 = 0 THEN 'blog.example.org' " +
-      "ELSE 'shop.example.net' END END"
+  private def synthHostSqlOf(e: String): String =
+    s"CASE WHEN ($e) % 2 = 0 THEN 'big.news.example.com' " +
+      s"ELSE 'h' || CAST(($e) % 97 AS VARCHAR) || '.' || " +
+      s"CASE WHEN ($e) % 3 = 0 THEN 'blog.example.org' " +
+      s"ELSE 'shop.example.net' END END"
+  private val synthHostSql: String = synthHostSqlOf("doc_id")
 
   // Target training-mix keep fractions: one oversampled (keep-all) source,
   // two downsampled, one fully excluded; the other 16 synthetic sources are
@@ -495,6 +496,36 @@ object SparkEntry {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       graft.operators.Dedup.windowDupStats(docs.unionByName(copies))
         .orderBy("doc_id")
+    }),
+    // ----- RefinedWeb-style normalized exact dedup: planted variants
+    //       (doc_id%9==0 re-appears at +2000000 upper-cased, with
+    //       doubled spaces and trailing bangs) normalize onto their
+    //       base doc's fingerprint; keeper = lowest doc_id -----
+    "q_norm_dedup" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val variants = docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(regexp_replace(upper(col("text")), " ", "  "), lit(" !!!"))
+            .as("text"))
+      graft.operators.Dedup.normalizedDedupStats(docs.unionByName(variants))
+        .orderBy("doc_id")
+    }),
+    // ----- inverted index: per-token document frequency + capped
+    //       sorted postings via the salted two-stage top-K (stopwords
+    //       spread over 16 salt buckets; no unbounded collect forms) -----
+    "q_inverted_index" -> ((s, dir) =>
+      graft.operators.TextIndex.invertedIndex(tbl(s, dir, "documents"))
+        .orderBy("tok")),
+    // ----- host-graph centrality: fixed-point integer PageRank (scale
+    //       1e12, 5 iterations) over the deterministic synthetic host
+    //       hub graph (odd docs link h* -> big.news, even docs fan
+    //       big.news -> h*); integer div before sum keeps it bit-exact -----
+    "q_pagerank" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val edges = docs.select(
+        synthHost(col("doc_id")).as("src"),
+        synthHost(col("doc_id") * 17 + 3).as("dst"))
+      graft.operators.LinkGraph.pageRank(edges).orderBy("node")
     }),
     // ----- GPT-3-style benchmark decontamination (13-gram overlap):
     //       docs doc_id%50==0 act as the eval benchmark; corpus docs
@@ -1143,6 +1174,45 @@ object SparkEntry {
       """SELECT corpus.doc_id, CAST(coalesce(p.n_windows, 0) AS BIGINT) AS n_windows, CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_windows, """ +
       """CASE WHEN coalesce(p.n_dup, 0) * 2 <= coalesce(p.n_windows, 0) THEN 1 ELSE 0 END AS ok_windows """ +
       """FROM corpus LEFT JOIN p USING (doc_id) ORDER BY doc_id"""),
+    // Normalization chain mirrored step-for-step (lower -> non-alnum to
+    // space -> ws runs to one space -> trim); explicit ws class, never \s
+    "q_norm_dedup" ->
+      ("""WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL """ +
+        """SELECT doc_id + 2000000 AS doc_id, regexp_replace(upper(text), ' ', '  ', 'g') || ' !!!' AS text FROM documents WHERE doc_id % 9 = 0), """ +
+        """f AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \t\n\x0B\f\r]', ' ', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp FROM corpus), """ +
+        """g AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_copies, min(doc_id) AS first_doc FROM f GROUP BY fp) """ +
+        """SELECT f.doc_id, g.n_copies, CASE WHEN f.doc_id = g.first_doc THEN 1 ELSE 0 END AS kept """ +
+        """FROM f JOIN g USING (fp) ORDER BY doc_id"""),
+    // Per-doc-distinct (doc_id, tok) pairs drive BOTH df and postings;
+    // posting list compared as a comma-joined string of ascending ids
+    "q_inverted_index" ->
+      (s"WITH pairs AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$NonWs+')) AS tok FROM documents)), " +
+        "d AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM pairs GROUP BY tok), " +
+        "p AS (SELECT tok, array_to_string(list_transform(list_slice(list(doc_id ORDER BY doc_id), 1, 10), x -> CAST(x AS VARCHAR)), ',') AS top_docs FROM pairs GROUP BY tok) " +
+        "SELECT d.tok, d.df, p.top_docs FROM d JOIN p USING (tok) ORDER BY tok"),
+    // Fixed-point PageRank unrolled to 5 chained CTEs (constant iteration
+    // count needs no recursion); every division is integer `//` matching
+    // Spark's `div`, contributions divide BEFORE summing
+    "q_pagerank" -> {
+      val hostSrc = synthHostSqlOf("doc_id")
+      val hostDst = synthHostSqlOf("doc_id * 17 + 3")
+      val head =
+        s"WITH e AS (SELECT DISTINCT $hostSrc AS src, $hostDst AS dst FROM documents), " +
+          "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+          "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes), " +
+          "od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src), " +
+          "ind AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS indeg FROM e GROUP BY dst), " +
+          "p0 AS (SELECT node, CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS r FROM nodes), "
+      val steps = (1 to 5).map { i =>
+        s"p$i AS (SELECT nodes.node, CAST((15 * (1000000000000 // (SELECT n FROM nn))) // 100 " +
+          "+ (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS r FROM nodes LEFT JOIN " +
+          s"(SELECT e.dst AS node, CAST(sum(p.r // od.outdeg) AS BIGINT) AS s FROM p${i - 1} p " +
+          "JOIN e ON e.src = p.node JOIN od ON od.src = e.src GROUP BY e.dst) s USING (node))"
+      }.mkString(", ")
+      head + steps +
+        " SELECT nodes.node, coalesce(od.outdeg, 0) AS outdeg, coalesce(ind.indeg, 0) AS indeg, p5.r AS rank_fp" +
+        " FROM nodes LEFT JOIN od ON od.src = nodes.node LEFT JOIN ind USING (node) JOIN p5 USING (node) ORDER BY node"
+    },
     // Same partner arithmetic ((doc_id // 10) % 10) * 50 builds the
     // tainted corpus; benchmark 13-grams joined as STRINGS (Spark joins
     // their xxhash64); LEFT JOIN + coalesce keeps sub-13-token docs

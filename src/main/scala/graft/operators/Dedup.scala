@@ -508,4 +508,32 @@ object Dedup {
       .withColumn("ok_windows",
         (col("n_dup_windows") * 2 <= col("n_windows")).cast("int"))
   }
+
+  // ------------------------------------------------- normalized exact
+  /**
+   * RefinedWeb-style normalized exact dedup: documents that differ only
+   * in case, punctuation, or whitespace runs collapse to one
+   * fingerprint (the normalization the Falcon pipeline applies before
+   * its exact-match pass; the reference dedups nothing — every url is
+   * processed independently, /root/reference/src/queue.py:24-33).
+   * Normalization: lower -> non-alphanumerics to space -> whitespace
+   * runs to one space -> trim. The fingerprint is md5 of the normalized
+   * text, so the dedup shuffle moves a 32-char hash, never the
+   * document. Keeper policy matches exact dedup: lowest id per group.
+   */
+  def normalizedDedupStats(df: DataFrame, textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame = {
+    val ws = """[ \t\n\x0B\f\r]"""
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)),
+        """[^a-z0-9 \t\n\x0B\f\r]""", " "),
+      ws + "+", " "))
+    val fps = df.select(col(idCol), md5(norm).as("fp"))
+    val groups = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).cast("long").as("n_copies"),
+        min(col(idCol)).as("first_doc"))
+    fps.join(groups, Seq("fp"))
+      .select(col(idCol), col("n_copies"),
+        (col(idCol) === col("first_doc")).cast("int").as("kept"))
+  }
 }
