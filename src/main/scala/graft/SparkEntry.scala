@@ -527,6 +527,53 @@ object SparkEntry {
         synthHost(col("doc_id") * 17 + 3).as("dst"))
       graft.operators.LinkGraph.pageRank(edges).orderBy("node")
     }),
+    // ----- C4-style corpus line dedup WITH reconstruction: the tiny
+    //       vocabulary makes 8-word derived lines repeat corpus-wide;
+    //       only first occurrences (lowest doc*2^20+idx ordinal)
+    //       survive and clean_text is rebuilt from them -----
+    "q_line_rebuild" -> ((s, dir) =>
+      graft.operators.QualityFilters.dedupLinesRebuild(
+        tbl(s, dir, "documents")).orderBy("doc_id")),
+    // ----- integer-truncated Flesch-Kincaid readability over a derived
+    //       sentence corpus (each 8-word chunk becomes one '.'-terminated
+    //       sentence, so n_sentences is meaningful) -----
+    "q_readability" -> ((s, dir) => {
+      val chunked = graft.operators.QualityFilters.derivedLines(col("text"))
+      val mtext = when(size(chunked) === 0, lit(""))
+        .otherwise(concat(array_join(chunked, ". "), lit(".")))
+      graft.operators.QualityFilters.readabilityStats(
+          tbl(s, dir, "documents").select(col("doc_id"), mtext.as("text")))
+        .orderBy("doc_id")
+    }),
+    // ----- incremental-crawl delta between two snapshots: %13 docs
+    //       vanish (removed), %11 docs get ' updated' appended
+    //       (changed), %17 docs re-appear at +3000000 (added); content
+    //       md5 decides, so a re-crawled identical page is unchanged -----
+    "q_crawl_delta" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val neu = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" updated")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      graft.operators.CorpusStats.crawlDelta(docs, neu).orderBy("doc_id")
+    }),
+    // ----- Unicode-script profile over a mixed-script decoration:
+    //       %4==0 docs get a Cyrillic block sized past their Latin count
+    //       (dominant flips), %4==1 CJK, %4==2 Arabic snippets; counts
+    //       are codepoint-exact explicit-range classes -----
+    "q_script_profile" -> ((s, dir) => {
+      val deco = concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          expr("repeat(' привет', CAST(n_chars div 6 AS INT) + 1)"))
+          .when(col("doc_id") % 4 === 1, lit(" 你好世界。"))
+          .when(col("doc_id") % 4 === 2, lit(" مرحبا بالعالم"))
+          .otherwise(lit("")))
+      graft.operators.CorpusStats.scriptProfile(
+          tbl(s, dir, "documents").select(col("doc_id"), deco.as("text")))
+        .orderBy("doc_id")
+    }),
     // ----- GPT-3-style benchmark decontamination (13-gram overlap):
     //       docs doc_id%50==0 act as the eval benchmark; corpus docs
     //       doc_id%10==3 get a benchmark doc's text appended (partner id
@@ -1213,6 +1260,55 @@ object SparkEntry {
         " SELECT nodes.node, coalesce(od.outdeg, 0) AS outdeg, coalesce(ind.indeg, 0) AS indeg, p5.r AS rank_fp" +
         " FROM nodes LEFT JOIN od ON od.src = nodes.node LEFT JOIN ind USING (node) JOIN p5 USING (node) ORDER BY node"
     },
+    // First occurrence = min over the packed doc*2^20+idx ordinal (same
+    // spec both engines); DuckDB compares line STRINGS where Spark
+    // compares xxhash64 (the accepted hash-injectivity standard); empty
+    // list() FILTER aggregates return NULL -> coalesce to ''
+    "q_line_rebuild" ->
+      (s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '$NonWs+') AS w FROM documents), """ +
+        """l AS (SELECT doc_id, u['idx'] AS idx, u['line'] AS line FROM (SELECT doc_id, unnest(list_transform(generate_series(0, (len(w) + 7) // 8 - 1), i -> {'idx': i, 'line': array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' ')})) AS u FROM w)), """ +
+        """k AS (SELECT doc_id, idx, line, doc_id * 1048576 + idx AS ord FROM l), """ +
+        """f AS (SELECT line, min(ord) AS first_ord, count(*) AS cnt FROM k GROUP BY line), """ +
+        """v AS (SELECT k.doc_id, k.idx, k.line, CASE WHEN f.cnt = 1 OR k.ord = f.first_ord THEN 1 ELSE 0 END AS keep FROM k JOIN f USING (line)), """ +
+        """p1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, CAST(sum(1 - keep) AS BIGINT) AS n_removed FROM v GROUP BY doc_id), """ +
+        """p2 AS (SELECT doc_id, array_to_string(list(line ORDER BY idx), chr(10)) AS clean_text FROM v WHERE keep = 1 GROUP BY doc_id) """ +
+        """SELECT d.doc_id, coalesce(p1.n_lines, 0) AS n_lines, coalesce(p1.n_removed, 0) AS n_removed, coalesce(p2.clean_text, '') AS clean_text """ +
+        """FROM documents d LEFT JOIN p1 USING (doc_id) LEFT JOIN p2 USING (doc_id) ORDER BY doc_id"""),
+    // Same derived sentence corpus (8-word chunks joined by '. ' + final
+    // '.'); every division integer `//` matching Spark `div`
+    "q_readability" ->
+      (s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '$NonWs+') AS w FROM documents), """ +
+        """m AS (SELECT doc_id, CASE WHEN len(w) = 0 THEN '' ELSE array_to_string(list_transform(generate_series(0, (len(w) + 7) // 8 - 1), i -> array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' ')), '. ') || '.' END AS mtext FROM w), """ +
+        s"""c AS (SELECT doc_id, CAST(len(regexp_extract_all(mtext, '$NonWs+')) AS BIGINT) AS n_words, """ +
+        """CAST(len(regexp_extract_all(mtext, '[.!?]+')) AS BIGINT) AS n_sentences, """ +
+        """CAST(len(regexp_extract_all(lower(mtext), '[aeiouy]+')) AS BIGINT) AS n_syllables FROM m) """ +
+        """SELECT doc_id, n_words, n_sentences, n_syllables, """ +
+        """CAST(CASE WHEN n_words > 0 AND n_sentences > 0 THEN (39 * n_words) // n_sentences + (1180 * n_syllables) // n_words - 1559 ELSE 0 END AS BIGINT) AS fk_x100, """ +
+        """CASE WHEN n_words > 0 AND n_sentences > 0 AND (39 * n_words) // n_sentences + (1180 * n_syllables) // n_words - 1559 BETWEEN 200 AND 1600 THEN 1 ELSE 0 END AS ok_read """ +
+        """FROM c ORDER BY doc_id"""),
+    // FULL OUTER on the USING key coalesces doc_id in both engines;
+    // md5-of-text change detection, never timestamps
+    "q_crawl_delta" ->
+      ("""WITH o AS (SELECT doc_id, md5(text) AS old_fp FROM documents), """ +
+        """nw AS (SELECT doc_id, md5(CASE WHEN doc_id % 11 = 0 THEN text || ' updated' ELSE text END) AS new_fp FROM documents WHERE doc_id % 13 <> 0 """ +
+        """UNION ALL SELECT doc_id + 3000000 AS doc_id, md5(text) AS new_fp FROM documents WHERE doc_id % 17 = 0) """ +
+        """SELECT doc_id, CASE WHEN old_fp IS NULL THEN 'added' WHEN new_fp IS NULL THEN 'removed' WHEN old_fp = new_fp THEN 'unchanged' ELSE 'changed' END AS status """ +
+        """FROM o FULL OUTER JOIN nw USING (doc_id) ORDER BY doc_id"""),
+    // Explicit codepoint-range classes (never \p{...}); length() counts
+    // codepoints in both engines for these BMP scripts; dominant CASE
+    // chain mirrored in priority order
+    "q_script_profile" ->
+      ("""WITH m AS (SELECT doc_id, text || CASE WHEN doc_id % 4 = 0 THEN repeat(' привет', CAST(n_chars // 6 AS INT) + 1) WHEN doc_id % 4 = 1 THEN ' 你好世界。' WHEN doc_id % 4 = 2 THEN ' مرحبا بالعالم' ELSE '' END AS mtext FROM documents), """ +
+        """c AS (SELECT doc_id, CAST(length(regexp_replace(mtext, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_latin, """ +
+        """CAST(length(regexp_replace(mtext, '[^\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic, """ +
+        """CAST(length(regexp_replace(mtext, '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_cjk, """ +
+        """CAST(length(regexp_replace(mtext, '[^\x{0600}-\x{06FF}]', '', 'g')) AS BIGINT) AS n_arabic, """ +
+        """CAST(length(regexp_replace(mtext, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit FROM m) """ +
+        """SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_arabic, n_digit, """ +
+        """CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk AND n_latin >= n_arabic THEN 'latin' """ +
+        """WHEN n_cyrillic >= n_cjk AND n_cyrillic >= n_arabic THEN 'cyrillic' """ +
+        """WHEN n_cjk >= n_arabic THEN 'cjk' ELSE 'arabic' END AS dominant """ +
+        """FROM c ORDER BY doc_id"""),
     // Same partner arithmetic ((doc_id // 10) % 10) * 50 builds the
     // tainted corpus; benchmark 13-grams joined as STRINGS (Spark joins
     // their xxhash64); LEFT JOIN + coalesce keeps sub-13-token docs

@@ -413,4 +413,67 @@ object CorpusStats {
         coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"))
       .withColumn("contaminated", (col("n_hit_grams") > 0).cast("int"))
   }
+
+  /**
+   * Incremental-crawl delta: classify every document across two crawl
+   * snapshots as added / removed / changed / unchanged. This is the
+   * planning pass of incremental processing — only `added`/`changed`
+   * rows re-enter the extraction pipeline, the resume anti-join's
+   * batch-level analog at snapshot granularity (the reference re-reads
+   * its whole queue every run, /root/reference/src/queue.py:24-33).
+   *
+   * Scale notes: both sides collapse to (id, 32-char md5) in the scan
+   * projection, so the full-outer join — the only shuffle — moves
+   * fingerprints, never document text. Change detection by content
+   * hash, not timestamps: re-crawled-but-identical pages classify
+   * `unchanged` and skip reprocessing.
+   */
+  def crawlDelta(oldDf: DataFrame, newDf: DataFrame,
+                 textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val o = oldDf.select(col(idCol), md5(col(textCol)).as("old_fp"))
+    val n = newDf.select(col(idCol), md5(col(textCol)).as("new_fp"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") === col("new_fp"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
+  /**
+   * Unicode-script profile: per-document codepoint counts for the major
+   * script classes plus a deterministic dominant-script verdict — the
+   * cheap precursor every language-ID cascade runs first (a page that is
+   * 90% CJK never reaches the Latin-alphabet n-gram model). Counts are
+   * `length()` of the class-filtered text, so they are codepoint-exact
+   * in any engine; classes are explicit codepoint ranges (never \p{...}
+   * properties, which Java and RE2 spell differently). Dominant-script
+   * ties break by the fixed priority latin > cyrillic > cjk > arabic.
+   * Pure scan projection: codegen, no shuffle.
+   */
+  def scriptProfile(df: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    def cnt(cls: String): Column =
+      length(regexp_replace(col(textCol), s"[^$cls]", ""))
+    val latin = "A-Za-z"
+    val cyr = "\\x{0400}-\\x{04FF}"
+    val cjk = "\\x{4E00}-\\x{9FFF}"
+    val arab = "\\x{0600}-\\x{06FF}"
+    df.select(col(idCol),
+        cnt(latin).cast("long").as("n_latin"),
+        cnt(cyr).cast("long").as("n_cyrillic"),
+        cnt(cjk).cast("long").as("n_cjk"),
+        cnt(arab).cast("long").as("n_arabic"),
+        length(regexp_replace(col(textCol), "[^0-9]", "")).cast("long")
+          .as("n_digit"))
+      .withColumn("dominant",
+        when(col("n_latin") >= col("n_cyrillic") &&
+          col("n_latin") >= col("n_cjk") &&
+          col("n_latin") >= col("n_arabic"), "latin")
+          .when(col("n_cyrillic") >= col("n_cjk") &&
+            col("n_cyrillic") >= col("n_arabic"), "cyrillic")
+          .when(col("n_cjk") >= col("n_arabic"), "cjk")
+          .otherwise("arabic"))
+  }
 }

@@ -283,4 +283,83 @@ object QualityFilters {
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("cnt").isNotNull, 1).otherwise(0)).as("n_dup_lines"))
   }
+
+  /**
+   * C4-style corpus line dedup WITH document reconstruction: a line that
+   * occurs more than once corpus-wide survives only at its first
+   * occurrence (lowest (doc, position) ordinal); every other copy is
+   * removed and the document text rebuilt from the surviving lines.
+   * This is the destructive half of C4's three-sentence-span rule —
+   * `lineDedupStats` only counts, this one rewrites.
+   *
+   * Scale notes: the occurrence count and first-ordinal aggregate move
+   * only (8-byte line hash, ordinal) pairs with map-side combine; the
+   * verdict joins back on the hash. Line TEXT travels exactly twice —
+   * once into the verdict join, once into the per-document rebuild
+   * group — which is the floor for any rewrite (the output must contain
+   * the text). Position is packed into the ordinal as doc_id * 2^20 +
+   * idx (documents are bounded far below 2^20 derived lines by the
+   * truncation cap), so "first occurrence" is a plain min over BIGINT —
+   * exact in any engine, no struct ordering semantics needed.
+   */
+  def dedupLinesRebuild(df: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", chunk: Int = 8): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(derivedLines(col(textCol), chunk)))
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "line")
+    val keyed = lines.select(col(idCol), col("idx"), col("line"),
+      xxhash64(col("line")).as("line_h"),
+      (col(idCol) * lit(1048576L) + col("idx")).as("ord"))
+    val firsts = keyed.groupBy(col("line_h"))
+      .agg(min(col("ord")).as("first_ord"), count(lit(1)).as("cnt"))
+    val verdict = keyed.join(firsts, Seq("line_h"))
+      .withColumn("keep",
+        (col("cnt") === 1 || col("ord") === col("first_ord")).cast("int"))
+    val rebuilt = verdict.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_lines"),
+        sum(when(col("keep") === 0, 1).otherwise(0)).cast("long")
+          .as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep") === 1,
+            struct(col("idx"), col("line"))))),
+          s => s.getField("line")), "\n").as("clean_text"))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /**
+   * Integer-truncated Flesch-Kincaid readability — the filter family
+   * FineWeb-Edu-style quality scoring starts from. Sentences are
+   * terminal-punctuation runs ([.!?]+), words are whitespace tokens,
+   * syllables are approximated as vowel groups ([aeiouy]+) over the
+   * lowercased text. The grade estimate is published-FK with each
+   * division integer-truncated and scaled by 100:
+   *   fk_x100 = (39 * W) div S + (1180 * Syl) div W - 1559
+   * (0.39·W/S + 11.8·Syl/W − 15.59, ×100). Zero sentences or words ⇒
+   * fk_x100 = 0 and the doc fails the gate. All arithmetic is BIGINT so
+   * an external engine reproduces it bit-exactly; everything runs in
+   * the scan projection (codegen, no shuffle).
+   */
+  def readabilityStats(df: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id",
+                       minX100: Long = 200L, maxX100: Long = 1600L): DataFrame = {
+    val w = size(words(col(textCol))).cast("long")
+    val s = size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
+      .cast("long")
+    val syl = size(regexp_extract_all(lower(col(textCol)),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+    df.select(col(idCol), w.as("n_words"), s.as("n_sentences"),
+        syl.as("n_syllables"))
+      .withColumn("fk_x100",
+        when(col("n_words") > 0 && col("n_sentences") > 0,
+          expr("(39 * n_words) div n_sentences") +
+            expr("(1180 * n_syllables) div n_words") - lit(1559L))
+          .otherwise(lit(0L)).cast("long"))
+      .withColumn("ok_read",
+        (col("n_words") > 0 && col("n_sentences") > 0 &&
+          col("fk_x100") >= minX100 && col("fk_x100") <= maxX100).cast("int"))
+  }
 }

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** Specs for the round-6 corpus operators: line dedup with rebuild,
+  * readability, crawl delta, script profile. */
+class CorpusOpsSpec extends AnyFunSuite {
+
+  private implicit lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("corpusops")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // ----------------------------------------------------- dedupLinesRebuild
+  test("dedupLinesRebuild: only the first corpus occurrence survives") {
+    // chunk=2 lines: doc1 = ["a b", "c d"], doc2 = ["c d", "e f"],
+    // doc3 = ["a b"]; "c d" first occurs in doc1@1, "a b" in doc1@0
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "c d e f"), (3L, "a b")
+    ).toDF("doc_id", "text")
+    val out = QualityFilters.dedupLinesRebuild(docs, chunk = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((2L, 0L, "a b\nc d")))
+    assert(out(2L) === ((2L, 1L, "e f")))
+    assert(out(3L) === ((1L, 1L, "")))
+  }
+
+  test("dedupLinesRebuild: duplicate WITHIN one doc keeps only the earlier line") {
+    val docs = Seq((5L, "x y z w x y")).toDF("doc_id", "text")
+    val out = QualityFilters.dedupLinesRebuild(docs, chunk = 2).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(2) === 1L) // one removed ("x y" at idx 2)
+    assert(out(0).getString(3) === "x y\nz w")
+  }
+
+  test("dedupLinesRebuild: empty/whitespace docs yield zero lines, empty text") {
+    val docs = Seq((1L, "a b"), (2L, "")).toDF("doc_id", "text")
+    val out = QualityFilters.dedupLinesRebuild(docs, chunk = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(3)))).toMap
+    assert(out(2L) === ((0L, "")))
+    assert(out(1L) === ((1L, "a b")))
+  }
+
+  // ------------------------------------------------------ readabilityStats
+  test("readabilityStats: counts and integer FK formula") {
+    // 1 sentence, 4 words, syllable groups: "the"(1) "cat"(1) "sat"(1)
+    // "down"(1) = 4
+    val docs = Seq((1L, "The cat sat down.")).toDF("doc_id", "text")
+    val r = QualityFilters.readabilityStats(docs).collect()(0)
+    assert(r.getLong(1) === 4L) // n_words
+    assert(r.getLong(2) === 1L) // n_sentences
+    assert(r.getLong(3) === 4L) // n_syllables
+    // (39*4)/1 + (1180*4)/4 - 1559 = 156 + 1180 - 1559 = -223
+    assert(r.getLong(4) === -223L)
+    assert(r.getInt(5) === 0) // below the gate
+  }
+
+  test("readabilityStats: zero sentences or words score 0 and fail the gate") {
+    val docs = Seq((1L, "no terminal punctuation here"), (2L, ""))
+      .toDF("doc_id", "text")
+    val out = QualityFilters.readabilityStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getInt(5)))).toMap
+    assert(out(1L) === ((0L, 0)))
+    assert(out(2L) === ((0L, 0)))
+  }
+
+  test("readabilityStats: mid-range doc passes the gate, formula ties to counts") {
+    val text = "the quick brown fox jumps over the lazy dog near the old " +
+      "red barn today. children often play simple games outside when the " +
+      "weather is warm and sunny there."
+    val r = QualityFilters.readabilityStats(
+      Seq((1L, text)).toDF("doc_id", "text")).collect()(0)
+    val (w, s, syl) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(r.getLong(4) === (39L * w) / s + (1180L * syl) / w - 1559L)
+    assert(r.getLong(4) >= 200L && r.getLong(4) <= 1600L)
+    assert(r.getInt(5) === 1)
+  }
+
+  // ------------------------------------------------------------ crawlDelta
+  test("crawlDelta: added/removed/changed/unchanged by content hash") {
+    val old = Seq((1L, "aa"), (2L, "bb"), (3L, "cc")).toDF("doc_id", "text")
+    val neu = Seq((1L, "aa"), (2L, "bb2"), (4L, "dd")).toDF("doc_id", "text")
+    val out = CorpusStats.crawlDelta(old, neu).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
+  // --------------------------------------------------------- scriptProfile
+  test("scriptProfile: codepoint counts per script and dominant verdict") {
+    val docs = Seq(
+      (1L, "hello 123"),
+      (2L, "привет мир x"),
+      (3L, "你好世界"),
+      (4L, "مرحبا")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.scriptProfile(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getString(6)))).toMap
+    assert(out(1L) === ((5L, 0L, 0L, 0L, 3L, "latin")))
+    assert(out(2L) === ((1L, 9L, 0L, 0L, 0L, "cyrillic")))
+    assert(out(3L) === ((0L, 0L, 4L, 0L, 0L, "cjk")))
+    assert(out(4L) === ((0L, 0L, 0L, 5L, 0L, "arabic")))
+  }
+
+  test("scriptProfile: all-zero counts break ties to latin (fixed priority)") {
+    val out = CorpusStats.scriptProfile(Seq((9L, "...")).toDF("doc_id", "text"))
+      .collect()(0)
+    assert(out.getString(6) === "latin")
+  }
+}
