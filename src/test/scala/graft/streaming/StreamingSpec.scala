@@ -125,4 +125,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.map(_.url).distinct.length === 100)
     out.foreach(s => assert(s.first_ts < 100))
   }
+
+  test("firstSeenUrls state persists ACROSS micro-batches (MemoryStream)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val q = StreamingExtract.firstSeenUrls(spark, in.toDS())
+      .writeStream.format("memory").queryName("first_seen")
+      .outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt-fs").toString)
+      .start()
+    try {
+      // batch 1: urls 0..49
+      in.addData((0 until 50).map(i => (s"https://h/$i", i.toLong)): _*)
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM first_seen").head().getLong(0) === 50)
+      // batch 2: 25 repeats (must be suppressed by state) + 25 new urls
+      in.addData(((25 until 75)).map(i => (s"https://h/$i", 1000L + i)): _*)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT url, first_ts FROM first_seen").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows.size === 75) // 50 + 25 new, repeats emitted nothing
+      // a repeat keeps its batch-1 timestamp, a new url gets batch-2's
+      assert(rows("https://h/30") === 30L)
+      assert(rows("https://h/60") === 1060L)
+    } finally q.stop()
+  }
 }
