@@ -559,6 +559,25 @@ object SparkEntry {
           .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
       graft.operators.CorpusStats.crawlDelta(docs, neu).orderBy("doc_id")
     }),
+    // ----- robots.txt-style path rules (RFC 9309 longest-match, ties
+    //       to allow, default allow): big.news carves /sec1 out except
+    //       the deeper /sec1/page1 allow; /sec2 exercises the tie rule;
+    //       h1.shop is default-deny with a /sec4 carve-in -----
+    "q_robots" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"),
+        synthHost(col("doc_id")).as("host"),
+        concat(lit("/sec"), (col("doc_id") % 7).cast("string"),
+          lit("/page"), (col("doc_id") % 50).cast("string")).as("path"))
+      graft.operators.CorpusStats.robotsVerdict(docs, Seq(
+        ("big.news.example.com", "/", 1),
+        ("big.news.example.com", "/sec1", 0),
+        ("big.news.example.com", "/sec1/page1", 1),
+        ("big.news.example.com", "/sec2", 1),
+        ("big.news.example.com", "/sec2", 0),
+        ("h1.shop.example.net", "/", 0),
+        ("h1.shop.example.net", "/sec4", 1)
+      )).orderBy("doc_id")
+    }),
     // ----- Unicode-script profile over a mixed-script decoration:
     //       %4==0 docs get a Cyrillic block sized past their Latin count
     //       (dominant flips), %4==1 CJK, %4==2 Arabic snippets; counts
@@ -1294,6 +1313,16 @@ object SparkEntry {
         """UNION ALL SELECT doc_id + 3000000 AS doc_id, md5(text) AS new_fp FROM documents WHERE doc_id % 17 = 0) """ +
         """SELECT doc_id, CASE WHEN old_fp IS NULL THEN 'added' WHEN new_fp IS NULL THEN 'removed' WHEN old_fp = new_fp THEN 'unchanged' ELSE 'changed' END AS status """ +
         """FROM o FULL OUTER JOIN nw USING (doc_id) ORDER BY doc_id"""),
+    // Longest-match via row_number (len DESC, allow DESC) mirrors the
+    // Spark side's array_max over (prefix-length, allow) structs
+    "q_robots" ->
+      (s"""WITH d AS (SELECT doc_id, $synthHostSql AS host, '/sec' || CAST(doc_id % 7 AS VARCHAR) || '/page' || CAST(doc_id % 50 AS VARCHAR) AS path FROM documents), """ +
+        """r AS (SELECT * FROM (VALUES ('big.news.example.com', '/', 1), ('big.news.example.com', '/sec1', 0), ('big.news.example.com', '/sec1/page1', 1), ('big.news.example.com', '/sec2', 1), ('big.news.example.com', '/sec2', 0), ('h1.shop.example.net', '/', 0), ('h1.shop.example.net', '/sec4', 1)) AS t(r_host, prefix, allow)), """ +
+        """m AS (SELECT d.doc_id, r.allow, row_number() OVER (PARTITION BY d.doc_id ORDER BY len(r.prefix) DESC, r.allow DESC) AS rn FROM d JOIN r ON d.host = r.r_host AND starts_with(d.path, r.prefix)), """ +
+        """c AS (SELECT doc_id, CAST(count(*) AS INT) AS n_matched FROM m GROUP BY doc_id), """ +
+        """b AS (SELECT doc_id, allow FROM m WHERE rn = 1) """ +
+        """SELECT d.doc_id, coalesce(b.allow, 1) AS allowed, coalesce(c.n_matched, 0) AS n_matched """ +
+        """FROM d LEFT JOIN b USING (doc_id) LEFT JOIN c USING (doc_id) ORDER BY doc_id"""),
     // Explicit codepoint-range classes (never \p{...}); length() counts
     // codepoints in both engines for these BMP scripts; dominant CASE
     // chain mirrored in priority order

@@ -442,6 +442,40 @@ object CorpusStats {
   }
 
   /**
+   * robots.txt-style path verdicts: per (host, path-prefix) allow/deny
+   * rules with the standard longest-match-wins semantics (ties break to
+   * allow, the Google/RFC 9309 tie rule); paths with no matching rule
+   * default to allowed. The crawl-side counterpart of `blockFlags` —
+   * that one kills whole hosts, this one carves paths within a host.
+   *
+   * Scale notes: rule sets are config-sized, so they collapse to one
+   * array-of-rules row per host and BROADCAST; the verdict is then a
+   * pure projection (array filter for prefix matches + array_max over
+   * (prefix-length, allow) structs picks the winner) — no shuffle at
+   * all, no per-doc window, and the doc path never leaves its
+   * partition.
+   */
+  def robotsVerdict(docs: DataFrame, rules: Seq[(String, String, Int)],
+                    hostCol: String = "host", pathCol: String = "path",
+                    idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ruleDf = rules.toDF("r_host", "prefix", "allow")
+      .groupBy(col("r_host"))
+      .agg(collect_list(struct(col("prefix"), col("allow"))).as("rules"))
+    docs.join(broadcast(ruleDf), docs(hostCol) === ruleDf("r_host"), "left")
+      .withColumn("matched",
+        filter(col("rules"), r => col(pathCol).startsWith(r.getField("prefix"))))
+      .withColumn("best", array_max(transform(col("matched"),
+        r => struct(length(r.getField("prefix")).as("l"),
+          r.getField("allow").as("a")))))
+      .select(col(idCol),
+        when(col("best").isNull, lit(1)).otherwise(col("best").getField("a"))
+          .as("allowed"),
+        coalesce(size(col("matched")), lit(0)).as("n_matched"))
+  }
+
+  /**
    * Unicode-script profile: per-document codepoint counts for the major
    * script classes plus a deterministic dominant-script verdict — the
    * cheap precursor every language-ID cascade runs first (a page that is

@@ -92,6 +92,39 @@ class CorpusOpsSpec extends AnyFunSuite {
       3L -> "removed", 4L -> "added"))
   }
 
+  // --------------------------------------------------------- robotsVerdict
+  test("robotsVerdict: longest match wins, ties break to allow, default allow") {
+    val docs = Seq(
+      (1L, "a.com", "/private/x"),     // deny /private
+      (2L, "a.com", "/private/ok/y"),  // deeper allow carve-in
+      (3L, "a.com", "/public"),        // only '/' allow matches
+      (4L, "a.com", "/tie/z"),         // same-length allow+deny -> allow
+      (5L, "b.org", "/anything"),      // no rules for host -> default allow
+      (6L, "c.net", "/x")              // default-deny host
+    ).toDF("doc_id", "host", "path")
+    val rules = Seq(
+      ("a.com", "/", 1), ("a.com", "/private", 0),
+      ("a.com", "/private/ok", 1),
+      ("a.com", "/tie", 1), ("a.com", "/tie", 0),
+      ("c.net", "/", 0))
+    val out = CorpusStats.robotsVerdict(docs, rules).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(out(1L) === ((0, 2))) // '/' + '/private'
+    assert(out(2L) === ((1, 3)))
+    assert(out(3L) === ((1, 1)))
+    assert(out(4L) === ((1, 3)))
+    assert(out(5L) === ((1, 0)))
+    assert(out(6L) === ((0, 1)))
+  }
+
+  test("robotsVerdict plan: rule side broadcasts, no shuffle on the doc side") {
+    val docs = Seq((1L, "a.com", "/x")).toDF("doc_id", "host", "path")
+    val plan = CorpusStats.robotsVerdict(docs, Seq(("a.com", "/", 1)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   // --------------------------------------------------------- scriptProfile
   test("scriptProfile: codepoint counts per script and dominant verdict") {
     val docs = Seq(
