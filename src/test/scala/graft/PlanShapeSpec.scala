@@ -253,4 +253,43 @@ class PlanShapeSpec extends AnyFunSuite {
     val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
     assert(aggs >= 2, s"no partial aggregation:\n$plan")
   }
+
+  test("inverted index: token-keyed stages reuse one partitioning (3 exchanges total)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.operators.TextIndex.invertedIndex(
+        spark.read.parquet(s"$sf/documents.parquet"))
+      val plan = df.queryExecution.executedPlan
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // (tok, salt) window + tok window (reused by the postings aggregate
+      // AND the join) + the df-count aggregate branch — nothing else
+      assert(shuffles.length === 3,
+        s"expected 3 exchanges, got ${shuffles.length}:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("line rebuild: dedup exchanges key on the 8-byte line hash") {
+    val df = graft.operators.QualityFilters.dedupLinesRebuild(
+      spark.read.parquet(s"$sf/documents.parquet"))
+    val plan = planOf(df)
+    val exchanges = plan.linesIterator.filter(_.contains("hashpartitioning")).toList
+    assert(exchanges.exists(_.contains("line_h")),
+      s"line_h is not an exchange key:\n$plan")
+    // the verdict stage never partitions on the raw line string; the text
+    // only moves in the doc-keyed rebuild group (inherent to a rewrite)
+    assert(!exchanges.exists(e => e.contains("line#") || e.contains("line,")),
+      s"an exchange keys on the raw line text:\n$plan")
+  }
+
+  test("pagerank: every iteration joins hash-keyed — no cartesian/nested-loop") {
+    import spark.implicits._
+    val edges = Seq.tabulate(64)(i => (s"h${i % 8}", s"h${(i * 3 + 1) % 8}"))
+      .toDF("src", "dst")
+    val plan = planOf(graft.operators.LinkGraph.pageRank(edges, iters = 3))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in plan:\n$plan")
+  }
 }
