@@ -559,6 +559,14 @@ object SparkEntry {
           .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
       graft.operators.CorpusStats.crawlDelta(docs, neu).orderBy("doc_id")
     }),
+    // ----- integer TF-IDF-lite top-k search: 'dup' is the one rare
+    //       token in the synthetic vocabulary (idf ~20 vs 1 for the
+    //       common terms), so it dominates scoring exactly as a real
+    //       idf would; full tie-break keeps the k-cut deterministic -----
+    "q_search_topk" -> ((s, dir) =>
+      graft.operators.TextIndex.searchTopK(tbl(s, dir, "documents"),
+        Seq("dup", "spark", "query"), k = 50).orderBy(col("score").desc,
+        col("doc_id"))),
     // ----- robots.txt-style path rules (RFC 9309 longest-match, ties
     //       to allow, default allow): big.news carves /sec1 out except
     //       the deeper /sec1/page1 allow; /sec2 exercises the tie rule;
@@ -1313,6 +1321,17 @@ object SparkEntry {
         """UNION ALL SELECT doc_id + 3000000 AS doc_id, md5(text) AS new_fp FROM documents WHERE doc_id % 17 = 0) """ +
         """SELECT doc_id, CASE WHEN old_fp IS NULL THEN 'added' WHEN new_fp IS NULL THEN 'removed' WHEN old_fp = new_fp THEN 'unchanged' ELSE 'changed' END AS status """ +
         """FROM o FULL OUTER JOIN nw USING (doc_id) ORDER BY doc_id"""),
+    // Integer idf quotient (n_total // df), deterministic k-cut via the
+    // full (score DESC, doc_id) tie-break on both sides
+    "q_search_topk" ->
+      (s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$NonWs+')) AS tok FROM documents), """ +
+        """q AS (SELECT * FROM (VALUES ('dup'), ('spark'), ('query')) AS t(tok)), """ +
+        """tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tok JOIN q USING (tok) GROUP BY doc_id, tok), """ +
+        """dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok), """ +
+        """n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents) """ +
+        """SELECT doc_id, CAST(sum(tf * (n_total // df)) AS BIGINT) AS score """ +
+        """FROM tf JOIN dfc USING (tok) CROSS JOIN n GROUP BY doc_id """ +
+        """ORDER BY score DESC, doc_id LIMIT 50"""),
     // Longest-match via row_number (len DESC, allow DESC) mirrors the
     // Spark side's array_max over (prefix-length, allow) structs
     "q_robots" ->

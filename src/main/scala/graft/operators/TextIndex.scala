@@ -60,4 +60,42 @@ object TextIndex {
     dfCounts.join(top, Seq("tok"))
       .select(col("tok"), col("df"), col("top_docs"))
   }
+
+  /**
+   * Integer TF-IDF-lite top-k search over the corpus: score(doc) =
+   * Σ_t tf(doc,t) · (N div df(t)) for the query terms t — the idf as a
+   * plain integer quotient, so ranking is bit-exact across engines (a
+   * float/log idf could not be oracled; the ordering it induces on a
+   * query this size is the same). Rare terms dominate exactly as in
+   * real BM25-family scoring.
+   *
+   * Scale notes: the query-term filter is an `isin` on a config-sized
+   * list evaluated in the scan projection, so only matching (doc, term)
+   * pairs ever leave the scan; tf and df aggregate with map-side
+   * combine; N joins in as a broadcast one-row aggregate (never a
+   * driver-side collect); the global top-k is Spark's
+   * TakeOrderedAndProject — per-partition heads of size k, then one
+   * k-sized merge, no full sort. Full tie-break (score DESC, id ASC)
+   * keeps the cut deterministic.
+   */
+  def searchTopK(df: DataFrame, terms: Seq[String], k: Int = 50,
+                 textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty, "searchTopK needs at least one query term")
+    val toks = df.select(col(idCol).as("did"),
+        explode(QualityFilters.words(lower(col(textCol)))).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+    val tf = toks.groupBy(col("did"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val dfc = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("long").as("df"))
+    val n = df.agg(count(lit(1)).cast("long").as("n_total"))
+    tf.join(dfc, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .groupBy(col("did"))
+      .agg(sum(expr("tf * (n_total div df)")).cast("long").as("score"))
+      .orderBy(col("score").desc, col("did"))
+      .limit(k)
+      .select(col("did").as(idCol), col("score"))
+  }
 }

@@ -86,6 +86,28 @@ class GraphIndexSpec extends AnyFunSuite {
     assert(out("w7") === ((1L, "7")))
   }
 
+  // ---------------------------------------------------------- searchTopK
+  test("searchTopK: integer tf-idf scores, deterministic tie-break and k-cut") {
+    val docs = Seq(
+      (1L, "a a b"), (2L, "a c"), (3L, "c c c"), (4L, "d")
+    ).toDF("doc_id", "text")
+    // N=4, df(a)=df(c)=2, idf = 4 div 2 = 2
+    // doc1 = 2*2 = 4; doc2 = 1*2 + 1*2 = 4; doc3 = 3*2 = 6; doc4 absent
+    val all = TextIndex.searchTopK(docs, Seq("a", "c"), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.toSeq === Seq((3L, 6L), (1L, 4L), (2L, 4L)))
+    val cut = TextIndex.searchTopK(docs, Seq("a", "c"), k = 2).collect()
+      .map(_.getLong(0))
+    assert(cut.toSeq === Seq(3L, 1L)) // tie at 4 broken by doc_id
+  }
+
+  test("searchTopK plan: global top-k is TakeOrdered, never a full sort") {
+    val docs = Seq((1L, "a"), (2L, "a b")).toDF("doc_id", "text")
+    val plan = TextIndex.searchTopK(docs, Seq("a"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator:\n$plan")
+  }
+
   // ------------------------------------------------ normalizedDedupStats
   test("normalizedDedupStats: case/punct/whitespace variants collapse") {
     val docs = Seq(
