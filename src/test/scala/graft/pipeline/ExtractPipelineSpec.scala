@@ -150,6 +150,69 @@ class ExtractPipelineSpec extends AnyFunSuite {
     assert(m2.input === 0, "respelled url must resume as done")
   }
 
+  test("incremental maintenance: crawlDelta-driven re-extract equals a full re-extract") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // crawl 1: 150 pages, extracted to the base table
+    val crawl1 = spark.range(150).mapPartitions(_.map(i => PageGen.page(i, 42L)))
+      .toDF().select("url", "html").cache()
+    val base = new SnapshotTable(tmp("tbl-base"))
+    Extract.run(spark, crawl1, base, numSalts = 4, numPartitions = 2)
+
+    // crawl 2: %7 pages vanish, %5 pages get brand-new html (url-keyed
+    // content so both paths extract identical bytes), 30 new pages appear
+    val i = regexp_extract(col("url"), "/doc/42/(\\d+)$", 1).cast("long")
+    val survivors = crawl1.filter(i % 7 =!= 0)
+    val crawl2 = survivors
+      .withColumn("html", when(i % 5 === 0,
+        encode(concat(lit("<html><body><p>updated v2 content for "),
+          col("url"), lit(" with enough words to extract</p></body></html>")),
+          "UTF-8")).otherwise(col("html")))
+      .unionByName(spark.range(1000, 1030)
+        .mapPartitions(_.map(j => PageGen.page(j, 42L))).toDF()
+        .select("url", "html"))
+      .cache()
+
+    // the delta classifies by content hash on the raw payload
+    val delta = graft.operators.CorpusStats.crawlDelta(
+      crawl1, crawl2, textCol = "html", idCol = "url").cache()
+    val byStatus = delta.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStatus("removed") === 22)   // 0,7,...,147
+    assert(byStatus("added") === 30)
+    assert(byStatus("changed") === 25)   // 30 %5-multiples minus 5 %35-overlaps
+    assert(byStatus("unchanged") === 103)
+
+    // incremental path: re-extract ONLY added+changed into a staging
+    // table, then assemble v2 = unchanged rows from base + staging
+    val toProcess = crawl2.join(
+      delta.filter(col("status").isin("added", "changed")).select("url"), "url")
+    val staging = new SnapshotTable(tmp("tbl-staging"))
+    val mInc = Extract.run(spark, toProcess, staging, numSalts = 4, numPartitions = 2)
+    assert(mInc.input === 55, s"incremental must process 55, got ${mInc.input}")
+
+    val keep = Seq("url", "doc_type", "extracted_text", "n_chars")
+    val incremental = base.read(spark)
+      .join(delta.filter(col("status") === "unchanged").select("url"), "url")
+      .select(keep.head, keep.tail: _*)
+      .unionByName(staging.read(spark).select(keep.head, keep.tail: _*))
+
+    // full path: extract crawl 2 from scratch
+    val full = new SnapshotTable(tmp("tbl-full"))
+    Extract.run(spark, crawl2, full, numSalts = 4, numPartitions = 2)
+    val fullOut = full.read(spark).select(keep.head, keep.tail: _*)
+
+    def key(df: org.apache.spark.sql.DataFrame) = df.select(col("url"),
+      col("doc_type"), md5(encode(coalesce(col("extracted_text"), lit("")),
+        "UTF-8")).as("fp"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    val (inc, ful) = (key(incremental), key(fullOut))
+    assert(inc === ful,
+      s"incremental != full; only-inc=${(inc -- ful).take(3)} only-full=${(ful -- inc).take(3)}")
+    crawl1.unpersist(); crawl2.unpersist(); delta.unpersist()
+  }
+
   test("interrupted commit leaves previous snapshot intact (crash safety)") {
     import spark.implicits._
     val tableDir = tmp("table2")
