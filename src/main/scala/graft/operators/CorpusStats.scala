@@ -427,6 +427,10 @@ object CorpusStats {
    * fingerprints, never document text. Change detection by content
    * hash, not timestamps: re-crawled-but-identical pages classify
    * `unchanged` and skip reprocessing.
+   *
+   * Contract: inputs are SNAPSHOTS keyed uniquely by `idCol` (one row
+   * per id, the invariant SnapshotTable maintains). A duplicated id
+   * fans the join out — run exact dedup first if the crawl is raw.
    */
   def crawlDelta(oldDf: DataFrame, newDf: DataFrame,
                  textCol: String = "text",

@@ -49,7 +49,10 @@ object LinkGraph {
                dstCol: String = "dst", iters: Int = 5,
                scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // null endpoints carry no link semantics and would silently drop at
+    // the equi-joins anyway — exclude them from the node universe too
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
