@@ -559,6 +559,15 @@ object SparkEntry {
           .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
       graft.operators.CorpusStats.crawlDelta(docs, neu).orderBy("doc_id")
     }),
+    // ----- per-source vocabulary signature: every doc gets a
+    //       source-branded token appended ('mark'||source), which each
+    //       source's lift ranking must surface at rank 1; the shared
+    //       base vocabulary ranks by exact integer lift below it -----
+    "q_source_sig" -> ((s, dir) =>
+      graft.operators.CorpusStats.sourceSignature(
+          tbl(s, dir, "documents").select(col("source"),
+            concat(col("text"), lit(" mark"), col("source")).as("text")))
+        .orderBy("source", "rk")),
     // ----- integer TF-IDF-lite top-k search: 'dup' is the one rare
     //       token in the synthetic vocabulary (idf ~20 vs 1 for the
     //       common terms), so it dominates scoring exactly as a real
@@ -1321,6 +1330,17 @@ object SparkEntry {
         """UNION ALL SELECT doc_id + 3000000 AS doc_id, md5(text) AS new_fp FROM documents WHERE doc_id % 17 = 0) """ +
         """SELECT doc_id, CASE WHEN old_fp IS NULL THEN 'added' WHEN new_fp IS NULL THEN 'removed' WHEN old_fp = new_fp THEN 'unchanged' ELSE 'changed' END AS status """ +
         """FROM o FULL OUTER JOIN nw USING (doc_id) ORDER BY doc_id"""),
+    // Same scaled-integer lift and (lift DESC, tok) tie-break; the
+    // source-branded token must land rank 1 on both engines
+    "q_source_sig" ->
+      (s"""WITH tok AS (SELECT source, unnest(regexp_extract_all(lower(text || ' mark' || source), '$NonWs+')) AS tok FROM documents), """ +
+        """ts AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS tf_s FROM tok GROUP BY source, tok), """ +
+        """st AS (SELECT source, CAST(sum(tf_s) AS BIGINT) AS t_s FROM ts GROUP BY source), """ +
+        """ct AS (SELECT tok, CAST(sum(tf_s) AS BIGINT) AS tf_c FROM ts GROUP BY tok), """ +
+        """tot AS (SELECT CAST(sum(tf_s) AS BIGINT) AS t_c FROM ts), """ +
+        """l AS (SELECT ts.source, ts.tok, CAST((ts.tf_s * tot.t_c * 1000) // (ct.tf_c * st.t_s) AS BIGINT) AS lift_x1000 FROM ts JOIN st USING (source) JOIN ct USING (tok) CROSS JOIN tot), """ +
+        """r AS (SELECT source, tok, lift_x1000, CAST(row_number() OVER (PARTITION BY source ORDER BY lift_x1000 DESC, tok) AS INT) AS rk FROM l) """ +
+        """SELECT source, tok, lift_x1000, rk FROM r WHERE rk <= 5 ORDER BY source, rk"""),
     // Integer idf quotient (n_total // df), deterministic k-cut via the
     // full (score DESC, doc_id) tie-break on both sides
     "q_search_topk" ->

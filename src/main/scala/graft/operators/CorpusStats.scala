@@ -446,6 +446,52 @@ object CorpusStats {
   }
 
   /**
+   * Per-source vocabulary signature: the k tokens most over-represented
+   * in each source vs the whole corpus — the forensic view curation
+   * teams use to spot template spam, SEO farms, and mislabeled sources.
+   * Over-representation is the tf-share lift, computed as a SCALED
+   * INTEGER: lift_x1000 = (tf_s · T_c · 1000) div (tf_c · T_s), so the
+   * ranking is bit-exact across engines (a float ratio could not be
+   * oracled). BIGINT bound: tf_s·T_c·1000 must stay under 2^63 — holds
+   * through ~10^9-token corpora; larger corpora should lift the
+   * multiplication to DECIMAL(38) (documented, not silently truncated).
+   *
+   * Scale notes: counts aggregate map-side at (source, token) first —
+   * the same pre-sharding discipline as hostProfile; the corpus total
+   * joins as a broadcast one-row aggregate; per-source top-k rides the
+   * salted two-stage window (hostCapStats discipline) so a source with
+   * a 10^8-token vocabulary never funnels into one window partition.
+   */
+  def sourceSignature(df: DataFrame, textCol: String = "text",
+                      srcCol: String = "source", k: Int = 5,
+                      salts: Int = 16): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(srcCol).as("source"),
+      explode(QualityFilters.words(lower(col(textCol)))).as("tok"))
+    val ts = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("tf_s"))
+    val st = ts.groupBy(col("source"))
+      .agg(sum(col("tf_s")).cast("long").as("t_s"))
+    val ct = ts.groupBy(col("tok"))
+      .agg(sum(col("tf_s")).cast("long").as("tf_c"))
+    val tot = ts.agg(sum(col("tf_s")).cast("long").as("t_c"))
+    val lifted = ts.join(st, Seq("source")).join(ct, Seq("tok"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_x1000",
+        expr("(tf_s * t_c * 1000) div (tf_c * t_s)"))
+    val w1 = Window
+      .partitionBy(col("source"), pmod(xxhash64(col("tok")), lit(salts)))
+      .orderBy(col("lift_x1000").desc, col("tok"))
+    val w2 = Window.partitionBy(col("source"))
+      .orderBy(col("lift_x1000").desc, col("tok"))
+    lifted
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= k)
+      .withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
+      .select(col("source"), col("tok"), col("lift_x1000"), col("rk"))
+  }
+
+  /**
    * robots.txt-style path verdicts: per (host, path-prefix) allow/deny
    * rules with the standard longest-match-wins semantics (ties break to
    * allow, the Google/RFC 9309 tie rule); paths with no matching rule

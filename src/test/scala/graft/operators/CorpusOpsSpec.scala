@@ -92,6 +92,31 @@ class CorpusOpsSpec extends AnyFunSuite {
       3L -> "removed", 4L -> "added"))
   }
 
+  // ------------------------------------------------------- sourceSignature
+  test("sourceSignature: exact integer lifts and per-source ranking") {
+    val docs = Seq(
+      ("A", "x x y"), ("B", "y z")
+    ).toDF("source", "text")
+    // T_A=3, T_B=2, T_c=5; tf_c: x=2, y=2, z=1
+    // A,x: (2*5*1000)//(2*3)=1666  A,y: (1*5*1000)//(2*3)=833
+    // B,z: (1*5*1000)//(1*2)=2500  B,y: (1*5*1000)//(2*2)=1250
+    val out = CorpusStats.sourceSignature(docs, k = 5).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getInt(3)))).toMap
+    assert(out(("A", "x")) === ((1666L, 1)))
+    assert(out(("A", "y")) === ((833L, 2)))
+    assert(out(("B", "z")) === ((2500L, 1)))
+    assert(out(("B", "y")) === ((1250L, 2)))
+  }
+
+  test("sourceSignature: k-cut keeps only the top lifts, tie broken by token") {
+    val docs = Seq(("A", "p q r s t u")).toDF("source", "text")
+    // single source: every token has identical lift; ties break alphabetically
+    val out = CorpusStats.sourceSignature(docs, k = 3).collect()
+      .map(r => (r.getString(1), r.getInt(3)))
+    assert(out.sortBy(_._2).map(_._1).toSeq === Seq("p", "q", "r"))
+  }
+
   // --------------------------------------------------------- robotsVerdict
   test("robotsVerdict: longest match wins, ties break to allow, default allow") {
     val docs = Seq(
