@@ -1323,12 +1323,14 @@ object SparkEntry {
         """CASE WHEN n_words > 0 AND n_sentences > 0 AND (39 * n_words) // n_sentences + (1180 * n_syllables) // n_words - 1559 BETWEEN 200 AND 1600 THEN 1 ELSE 0 END AS ok_read """ +
         """FROM c ORDER BY doc_id"""),
     // FULL OUTER on the USING key coalesces doc_id in both engines;
-    // md5-of-text change detection, never timestamps
+    // md5-of-text change detection, never timestamps. Presence via
+    // explicit markers + null-safe compare (IS NOT DISTINCT FROM),
+    // mirroring the operator's null-text semantics
     "q_crawl_delta" ->
-      ("""WITH o AS (SELECT doc_id, md5(text) AS old_fp FROM documents), """ +
-        """nw AS (SELECT doc_id, md5(CASE WHEN doc_id % 11 = 0 THEN text || ' updated' ELSE text END) AS new_fp FROM documents WHERE doc_id % 13 <> 0 """ +
-        """UNION ALL SELECT doc_id + 3000000 AS doc_id, md5(text) AS new_fp FROM documents WHERE doc_id % 17 = 0) """ +
-        """SELECT doc_id, CASE WHEN old_fp IS NULL THEN 'added' WHEN new_fp IS NULL THEN 'removed' WHEN old_fp = new_fp THEN 'unchanged' ELSE 'changed' END AS status """ +
+      ("""WITH o AS (SELECT doc_id, md5(text) AS old_fp, 1 AS in_old FROM documents), """ +
+        """nw AS (SELECT doc_id, md5(CASE WHEN doc_id % 11 = 0 THEN text || ' updated' ELSE text END) AS new_fp, 1 AS in_new FROM documents WHERE doc_id % 13 <> 0 """ +
+        """UNION ALL SELECT doc_id + 3000000 AS doc_id, md5(text) AS new_fp, 1 AS in_new FROM documents WHERE doc_id % 17 = 0) """ +
+        """SELECT doc_id, CASE WHEN in_old IS NULL THEN 'added' WHEN in_new IS NULL THEN 'removed' WHEN old_fp IS NOT DISTINCT FROM new_fp THEN 'unchanged' ELSE 'changed' END AS status """ +
         """FROM o FULL OUTER JOIN nw USING (doc_id) ORDER BY doc_id"""),
     // Same scaled-integer lift and (lift DESC, tok) tie-break; the
     // source-branded token must land rank 1 on both engines

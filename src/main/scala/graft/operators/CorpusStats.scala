@@ -435,13 +435,19 @@ object CorpusStats {
   def crawlDelta(oldDf: DataFrame, newDf: DataFrame,
                  textCol: String = "text",
                  idCol: String = "doc_id"): DataFrame = {
-    val o = oldDf.select(col(idCol), md5(col(textCol)).as("old_fp"))
-    val n = newDf.select(col(idCol), md5(col(textCol)).as("new_fp"))
+    // presence is tracked by explicit markers, NOT by fingerprint
+    // nullity: md5(NULL) is NULL, so a null-text row would otherwise
+    // masquerade as absent and misclassify (removed -> added)
+    val o = oldDf.select(col(idCol), md5(col(textCol)).as("old_fp"),
+      lit(1).as("in_old"))
+    val n = newDf.select(col(idCol), md5(col(textCol)).as("new_fp"),
+      lit(1).as("in_new"))
     o.join(n, Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("old_fp").isNull, "added")
-          .when(col("new_fp").isNull, "removed")
-          .when(col("old_fp") === col("new_fp"), "unchanged")
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          // null-safe compare: two null-text snapshots are unchanged
+          .when(col("old_fp") <=> col("new_fp"), "unchanged")
           .otherwise("changed").as("status"))
   }
 

@@ -300,7 +300,10 @@ object QualityFilters {
    * the text). Position is packed into the ordinal as doc_id * 2^20 +
    * idx (documents are bounded far below 2^20 derived lines by the
    * truncation cap), so "first occurrence" is a plain min over BIGINT —
-   * exact in any engine, no struct ordering semantics needed.
+   * exact in any engine, no struct ordering semantics needed. Packing
+   * precondition: 0 <= doc_id < 2^43 — negative or hash-derived 64-bit
+   * ids would overflow the pack and corrupt the ordering; map such ids
+   * to a dense non-negative range first.
    */
   def dedupLinesRebuild(df: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", chunk: Int = 8): DataFrame = {

@@ -255,6 +255,7 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("inverted index: token-keyed stages reuse one partitioning (3 exchanges total)") {
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val df = graft.operators.TextIndex.invertedIndex(
@@ -267,7 +268,7 @@ class PlanShapeSpec extends AnyFunSuite {
       // AND the join) + the df-count aggregate branch — nothing else
       assert(shuffles.length === 3,
         s"expected 3 exchanges, got ${shuffles.length}:\n$plan")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
   test("line rebuild: dedup exchanges key on the 8-byte line hash") {

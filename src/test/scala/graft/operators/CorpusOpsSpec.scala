@@ -92,6 +92,21 @@ class CorpusOpsSpec extends AnyFunSuite {
       3L -> "removed", 4L -> "added"))
   }
 
+  // ---------------------------------------------------- crawlDelta (nulls)
+  test("crawlDelta: null-text rows classify by PRESENCE, not fingerprint nullity") {
+    val old = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+      (3L, Some("x"))).toDF("doc_id", "text")
+    val neu = Seq((2L, Option.empty[String]), (3L, Option.empty[String]),
+      (4L, Option.empty[String])).toDF("doc_id", "text")
+    val out = CorpusStats.crawlDelta(old, neu).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(
+      1L -> "removed",   // null text, present only in old
+      2L -> "unchanged", // null text both sides: null-safe equal
+      3L -> "changed",   // text -> null is a content change
+      4L -> "added"))    // null text, present only in new
+  }
+
   // ------------------------------------------------------- sourceSignature
   test("sourceSignature: exact integer lifts and per-source ranking") {
     val docs = Seq(
