@@ -559,6 +559,20 @@ object SparkEntry {
           .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
       graft.operators.CorpusStats.crawlDelta(docs, neu).orderBy("doc_id")
     }),
+    // ----- dataset-card statistics over a corpus with planted exact
+    //       AND normalized-only duplicates, so all three distinct
+    //       counts differ: %9 docs re-appear verbatim at +4000000,
+    //       %9 docs also re-appear normalized-variant at +5000000 -----
+    "q_dataset_card" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val verbatim = docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"), col("text"))
+      val variants = docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(upper(col("text")), lit(" !!!")).as("text"))
+      graft.operators.CorpusStats.datasetCard(
+        docs.unionByName(verbatim).unionByName(variants))
+    }),
     // ----- per-source vocabulary signature: every doc gets a
     //       source-branded token appended ('mark'||source), which each
     //       source's lift ranking must surface at rank 1; the shared
@@ -1332,6 +1346,18 @@ object SparkEntry {
         """UNION ALL SELECT doc_id + 3000000 AS doc_id, md5(text) AS new_fp, 1 AS in_new FROM documents WHERE doc_id % 17 = 0) """ +
         """SELECT doc_id, CASE WHEN in_old IS NULL THEN 'added' WHEN in_new IS NULL THEN 'removed' WHEN old_fp IS NOT DISTINCT FROM new_fp THEN 'unchanged' ELSE 'changed' END AS status """ +
         """FROM o FULL OUTER JOIN nw USING (doc_id) ORDER BY doc_id"""),
+    // One-row totals; each distinct count over the same fingerprint
+    // expressions as q_dedup_exact / q_norm_dedup
+    "q_dataset_card" ->
+      (s"""WITH corpus AS (SELECT doc_id, text FROM documents """ +
+        """UNION ALL SELECT doc_id + 4000000, text FROM documents WHERE doc_id % 9 = 0 """ +
+        """UNION ALL SELECT doc_id + 5000000, upper(text) || ' !!!' FROM documents WHERE doc_id % 9 = 0) """ +
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS n_chars, """ +
+        s"""CAST(sum(len(regexp_extract_all(text, '$NonWs+'))) AS BIGINT) AS n_tokens, """ +
+        s"""CAST(sum(CASE WHEN len(regexp_extract_all(text, '$NonWs+')) BETWEEN 50 AND 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok, """ +
+        """CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_exact_unique, """ +
+        """CAST(count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \t\n\x0B\f\r]', ' ', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS BIGINT) AS n_norm_unique """ +
+        """FROM corpus"""),
     // Same scaled-integer lift and (lift DESC, tok) tie-break; the
     // source-branded token must land rank 1 on both engines
     "q_source_sig" ->

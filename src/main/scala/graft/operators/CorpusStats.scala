@@ -452,6 +452,42 @@ object CorpusStats {
   }
 
   /**
+   * Dataset-card statistics: the one-row corpus summary a dataset
+   * release ships with (HF dataset-card numbers) — doc/char/token
+   * totals, exact and normalized distinct-document counts (the
+   * dedup-rate headline), and the length-gate pass count. Exact, not
+   * sketched, so an external engine certifies every figure.
+   *
+   * Scale notes: each distinct count is its own GROUP BY over a 32-char
+   * fingerprint computed in the scan projection (never the text), then
+   * the one-row results cross-join — this avoids the Expand duplication
+   * multiple DISTINCT aggregates in one GROUP BY would plan (N distinct
+   * aggs would scan-multiply rows N×; here each branch streams once
+   * with map-side partial aggregation).
+   */
+  def datasetCard(df: DataFrame, textCol: String = "text",
+                  minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val ws = """[ \t\n\x0B\f\r]"""
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), """[^a-z0-9 \t\n\x0B\f\r]""", " "),
+      ws + "+", " "))
+    val nWords = size(QualityFilters.words(col(textCol))).cast("long")
+    val base = df.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(length(col(textCol))).cast("long").as("n_chars"),
+      sum(nWords).cast("long").as("n_tokens"),
+      sum(when(nWords >= minWords && nWords <= maxWords, 1L).otherwise(0L))
+        .cast("long").as("n_len_ok"))
+    val exactU = df.select(md5(col(textCol)).as("fp")).distinct()
+      .agg(count(lit(1)).cast("long").as("n_exact_unique"))
+    val normU = df.select(md5(norm).as("fp")).distinct()
+      .agg(count(lit(1)).cast("long").as("n_norm_unique"))
+    base.crossJoin(exactU).crossJoin(normU)
+      .select(col("n_docs"), col("n_chars"), col("n_tokens"),
+        col("n_len_ok"), col("n_exact_unique"), col("n_norm_unique"))
+  }
+
+  /**
    * Per-source vocabulary signature: the k tokens most over-represented
    * in each source vs the whole corpus — the forensic view curation
    * teams use to spot template spam, SEO farms, and mislabeled sources.

@@ -92,6 +92,25 @@ class CorpusOpsSpec extends AnyFunSuite {
       3L -> "removed", 4L -> "added"))
   }
 
+  // ------------------------------------------------------------ datasetCard
+  test("datasetCard: totals, gate count, exact vs normalized distincts") {
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"),  // exact duplicate pair
+      (3L, "A, b!"),             // normalized-only duplicate of "a b"
+      (4L, "c d e")
+    ).toDF("doc_id", "text")
+    val r = CorpusStats.datasetCard(docs).collect()(0)
+    assert(r.getLong(0) === 4L)  // n_docs
+    assert(r.getLong(1) === 16L) // n_chars: 3+3+5+5
+    assert(r.getLong(2) === 9L)  // n_tokens: 2+2+2+3
+    assert(r.getLong(3) === 0L)  // n_len_ok at the default 50-word floor
+    assert(r.getLong(4) === 3L)  // exact uniques
+    assert(r.getLong(5) === 2L)  // normalized uniques
+    val r2 = CorpusStats.datasetCard(docs, minWords = 2L, maxWords = 2L)
+      .collect()(0)
+    assert(r2.getLong(3) === 3L) // three 2-token docs pass the gate
+  }
+
   // ---------------------------------------------------- crawlDelta (nulls)
   test("crawlDelta: null-text rows classify by PRESENCE, not fingerprint nullity") {
     val old = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
