@@ -259,10 +259,18 @@ object Dedup {
       .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
       .where(col("u") =!= col("v"))
     val empty = spark.createDataset(Seq.empty[(Long, Long)]).toDF("id", "cluster_id")
-    val n = edges.count() // one cheap action over pairs, decides the strategy
-    if (n == 0) empty
-    else if (n <= maxDriverEdges) {
-      val arr = edges.as[(Long, Long)].collect()
+    // ONE action decides the strategy AND fetches the edges: collect through
+    // a LIMIT of maxDriverEdges+1 — when the result fits, that IS the edge
+    // set (the count() + collect() spelling executed the whole upstream
+    // pair pipeline twice; guide §1.2 "don't compute things you throw
+    // away"). The sentinel +1 row proves overflow, and only then does the
+    // rare large-graph path recompute edges distributed (its upstream
+    // shuffle files are reused, not recomputed). Edge ORDER from limit is
+    // arbitrary — union-find's min-label output is order-independent.
+    val lim = (math.min(maxDriverEdges, Int.MaxValue.toLong - 1) + 1).toInt
+    val arr = edges.as[(Long, Long)].limit(lim).collect()
+    if (arr.isEmpty) empty
+    else if (arr.length < lim) {
       spark.createDataset(unionFindMinLabel(arr).toSeq).toDF("id", "cluster_id")
     } else largeSmallStar(edges, maxRounds)
   }
@@ -391,13 +399,19 @@ object Dedup {
     import graft.functions.DedupFunctions.{lsh_bucket, lsh_probes}
     val base = emb.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
+      // norm per ROW before the bucket join, not per candidate PAIR inside
+      // it (3 vec_dots per pair -> 1); identical IEEE value, sim unchanged
+      .withColumn("nrm", Similarity.norm(col("vec")))
     val left = base.select(col("id").as("id_a"), col("vec").as("vec_a"),
+      col("nrm").as("nrm_a"),
       explode(lsh_probes(col("vec"), bits, dim, seed, probes)).as("bucket"))
     val right = base.select(col("id").as("id_b"), col("vec").as("vec_b"),
+      col("nrm").as("nrm_b"),
       lsh_bucket(col("vec"), bits, dim, seed).as("bucket"))
     left.join(right, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", Similarity.cosine(col("vec_a"), col("vec_b")))
+      .withColumn("sim", Similarity.dot(col("vec_a"), col("vec_b"))
+        / (col("nrm_a") * col("nrm_b") + lit(1e-12)))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
       .dropDuplicates("id_a", "id_b")

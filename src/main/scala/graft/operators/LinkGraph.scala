@@ -47,29 +47,39 @@ object LinkGraph {
    */
   def pageRank(edges: DataFrame, srcCol: String = "src",
                dstCol: String = "dst", iters: Int = 5,
-               scale: Long = 1000000000000L): DataFrame = {
+               scale: Long = 1000000000000L,
+               checkpointEvery: Int = 10): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     // null endpoints carry no link semantics and would silently drop at
     // the equi-joins anyway — exclude them from the node universe too
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+    // nodes and the outdeg-joined edge list are consumed by EVERY iteration
+    // plus the final degree assembly; without persist each of the ~iters+2
+    // consumers re-executes the edge scan + distinct lineage (guide §5:
+    // reused AND expensive to recompute = the case for caching). Integer
+    // arithmetic is order-independent, so caching cannot change any value.
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outdeg = e.groupBy(col("src"))
       .agg(count(lit(1)).cast("long").as("outdeg"))
     val indeg = e.groupBy(col("dst"))
       .agg(count(lit(1)).cast("long").as("indeg"))
       .withColumnRenamed("dst", "node")
-    // the one driver-side read: node count (a single long)
+    // the one driver-side read: node count (a single long); also
+    // materializes the nodes cache for the iterations below
     val n = nodes.count()
     require(n > 0, "pageRank needs at least one node")
     val r0 = scale / n
     val base = (15L * r0) / 100L
 
     val eo = e.join(outdeg, Seq("src")) // (src, dst, outdeg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.withColumn("r", lit(r0))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = eo
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), expr("r div outdeg").as("c"))
@@ -80,6 +90,13 @@ object LinkGraph {
           (lit(base) +
             expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100"))
             .cast("long").as("r"))
+      // high-iteration hygiene: the unrolled lineage grows superlinearly in
+      // the analyzer and a task retry would recompute every prior iteration;
+      // truncate it every `checkpointEvery` rounds. Values are untouched —
+      // localCheckpoint materializes exactly the rows the plan defines — so
+      // the result is bit-identical to the unrolled form (spec-pinned).
+      // Never triggers at the shipped iters=5 default.
+      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     nodes
       .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")

@@ -43,10 +43,18 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      queryIdCol: String = "query_id"): DataFrame = {
+    // norms are a per-ROW function, so they evaluate once per vector BEFORE
+    // the join instead of once per PAIR inside it (cosine would recompute
+    // sqrt(dot(v,v)) for both sides of every candidate pair — 3 vec_dots
+    // per pair instead of 1). Same expression, same IEEE value, so sim and
+    // the rank order are bit-identical.
     val q = queries.select(col(queryIdCol), col(vecCol).as("q_vec"))
+      .withColumn("q_nrm", norm(col("q_vec")))
     val joined = corpus.select(col(idCol), col(vecCol))
+      .withColumn("c_nrm", norm(col(vecCol)))
       .join(broadcast(q), col(idCol) =!= col(queryIdCol)) // exclude self-match
-      .withColumn("sim", cosine(col(vecCol), col("q_vec")))
+      .withColumn("sim",
+        dot(col(vecCol), col("q_vec")) / (col("c_nrm") * col("q_nrm") + lit(1e-12)))
     val w = Window.partitionBy(queryIdCol).orderBy(col("sim").desc, col(idCol))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -159,9 +167,12 @@ object Similarity {
         }
       }
       .toDF(queryIdCol, "q_vec", "cell")
-    val joined = corpusB.join(broadcast(q), Seq("cell"))
+    // per-row norms before the join — see bruteForceTopK (bit-identical sim)
+    val joined = corpusB.withColumn("c_nrm", norm(col(vecCol)))
+      .join(broadcast(q.withColumn("q_nrm", norm(col("q_vec")))), Seq("cell"))
       .filter(col(idCol) =!= col(queryIdCol))
-      .withColumn("sim", cosine(col(vecCol), col("q_vec")))
+      .withColumn("sim",
+        dot(col(vecCol), col("q_vec")) / (col("c_nrm") * col("q_nrm") + lit(1e-12)))
     val w = Window.partitionBy(queryIdCol).orderBy(col("sim").desc, col(idCol))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -213,12 +224,15 @@ object Similarity {
     import graft.functions.DedupFunctions.{lsh_bucket, lsh_probes}
     val corpusB = corpus.select(col(idCol), col(vecCol))
       .withColumn("bucket", lsh_bucket(col(vecCol), bits, dim, seed))
+      .withColumn("c_nrm", norm(col(vecCol))) // per-row, not per-pair
     // queries probe their own bucket + `probes` single-bit flips
     val q = queries.select(col(queryIdCol), col(vecCol).as("q_vec"))
+      .withColumn("q_nrm", norm(col("q_vec")))
       .withColumn("bucket", explode(lsh_probes(col("q_vec"), bits, dim, seed, probes)))
     val joined = corpusB.join(broadcast(q), Seq("bucket"))
       .filter(col(idCol) =!= col(queryIdCol))
-      .withColumn("sim", cosine(col(vecCol), col("q_vec")))
+      .withColumn("sim",
+        dot(col(vecCol), col("q_vec")) / (col("c_nrm") * col("q_nrm") + lit(1e-12)))
     val w = Window.partitionBy(queryIdCol).orderBy(col("sim").desc, col(idCol))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
