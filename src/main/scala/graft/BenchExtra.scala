@@ -56,6 +56,28 @@ object BenchExtra {
           }
         }
 
+      case "ab" =>
+        // interleaved same-JVM A/B of the graft.fan toggle: variants
+        // alternate rep by rep so both see the same host phase
+        val reps = if (args.length > 1) args(1).toInt else 4
+        try spark.read.parquet(s"$sfDir/documents.parquet").limit(10).count()
+        catch { case _: Throwable => }
+        selected(2).foreach { case (name, fn) =>
+          val a = scala.collection.mutable.ArrayBuffer.empty[Double]
+          val b = scala.collection.mutable.ArrayBuffer.empty[Double]
+          for (r <- 1 to reps * 2) {
+            val fan = r % 2 == 1
+            System.setProperty("graft.fan", if (fan) "1" else "0")
+            val t0 = System.nanoTime()
+            try fn(spark, sfDir).count()
+            catch { case e: Throwable => System.err.println(s"[$name] ERR $e") }
+            val t = (System.nanoTime() - t0) / 1e9
+            (if (fan) a else b) += t
+          }
+          System.err.println(f"[ab] $name%-22s fan=${a.min}%7.3f nofan=${b.min}%7.3f  (fan ${a.map(t => f"$t%.2f").mkString(",")} | nofan ${b.map(t => f"$t%.2f").mkString(",")})")
+        }
+        System.setProperty("graft.fan", "1")
+
       case "time" | "noop" =>
         val reps = if (args.length > 1) args(1).toInt else 3
         // warmup (same as Bench)

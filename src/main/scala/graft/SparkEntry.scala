@@ -21,6 +21,39 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Adaptive scan fan-out (guide §2.5 "input skew: one huge unsplittable
+    * file ... otherwise repartition immediately after the read"): when the
+    * on-disk layout yields far fewer scan splits than the session's
+    * parallelism — the single-small-file shape of the test SFs — every
+    * scan-stage expression (hashes, regexes, extraction kernels, minhash)
+    * runs in ONE task regardless of core count. Round-robin out to
+    * defaultParallelism in that case. The trigger is derived from the
+    * session's own files.maxPartitionBytes and the actual file bytes —
+    * never a hard-coded core count — so a production table with hundreds
+    * of splits never repartitions and the exchange only exists where the
+    * layout starves the cluster. Round-robin placement cannot change any
+    * result here: every consumer aggregates, joins or windows with its own
+    * keyed exchange downstream. */
+  private def tblFan(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = tbl(s, dir, name)
+    if (sys.props.getOrElse("graft.fan", "1") != "1") return df // A/B toggle
+    val f = new java.io.File(s"$dir/$name.parquet")
+    val bytes =
+      if (f.isFile) f.length()
+      else if (f.isDirectory)
+        f.listFiles().filter(x => x.isFile && !x.getName.startsWith("_"))
+          .map(_.length()).sum
+      else -1L
+    if (bytes < 0) df // unknown layout: leave the scan alone
+    else {
+      val maxPB = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        s.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+      val splits = math.max(1L, (bytes + maxPB - 1) / maxPB)
+      val target = s.sparkContext.defaultParallelism
+      if (splits * 2 <= target) df.repartition(target) else df
+    }
+  }
+
   /** Deterministic doc-derived WARC fixture corpus, written ONCE per
     * (content tag, flavor) by a PARTITIONED job — one task per output
     * file, nothing collected to the driver (the builder scales with the
@@ -398,7 +431,7 @@ object SparkEntry {
         .orderBy("doc_id")),
     // ----- CCNet-style corpus-wide line-level dedup stats -----
     "q_line_dedup" -> ((s, dir) =>
-      graft.operators.QualityFilters.lineDedupStats(tbl(s, dir, "documents"))
+      graft.operators.QualityFilters.lineDedupStats(tblFan(s, dir, "documents"))
         .orderBy("doc_id")),
     // ----- Gopher line-shape rules over a derived MULTI-LINE corpus:
     //       the single-line docs are chunked into 8-word lines, and
@@ -724,7 +757,7 @@ object SparkEntry {
     // ----- MinHash near-dup detection (planted dups; LSH band join) -----
     "q_minhash_pairs" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = tblFan(s, dir, "documents").select(col("doc_id"), col("text"))
       val mutated = docs.filter(col("doc_id") % 20 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(col("text"), lit(" tiny appended suffix")).as("text"))
@@ -735,7 +768,7 @@ object SparkEntry {
     // ----- full near-dup collapse: LSH pairs -> connected components -> keepers -----
     "q_dedup_collapse" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = tblFan(s, dir, "documents").select(col("doc_id"), col("text"))
       val mutated = docs.filter(col("doc_id") % 20 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(col("text"), lit(" tiny appended suffix")).as("text"))
@@ -759,7 +792,7 @@ object SparkEntry {
     "q_corpus_build" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
-      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = tblFan(s, dir, "documents").select(col("doc_id"), col("text"))
       val mutatedSrc = docs.filter(col("doc_id") % 20 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(col("text"), lit(" tiny appended suffix")).as("text"))
@@ -815,7 +848,7 @@ object SparkEntry {
     // ----- SimHash near-dup detection (hamming-blocked self-join) -----
     "q_simhash_pairs" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = tblFan(s, dir, "documents").select(col("doc_id"), col("text"))
       val mutated = docs.filter(col("doc_id") % 25 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(col("text"), lit(" x")).as("text"))
@@ -935,7 +968,7 @@ object SparkEntry {
     "q_media_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
-      val media = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val media = tblFan(s, dir, "documents").select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, t) => graft.operators.Multimodal.mediaFromDoc(id, t) })
         .toDF("media_id", "bytes")
@@ -962,7 +995,7 @@ object SparkEntry {
       // spans all five RFC 2083 filters (pngFromDoc), and the oracle
       // recomputes the sum from the original cycled text bytes — parity
       // proves the decoder's defilter reconstructs the pixels exactly.
-      tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      tblFan(s, dir, "documents").select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, t) =>
           val (mid, blob) = graft.operators.Multimodal.pngFromDoc(id, t)
