@@ -542,7 +542,17 @@ object Dedup {
       regexp_replace(lower(col(textCol)),
         """[^a-z0-9 \t\n\x0B\f\r]""", " "),
       ws + "+", " "))
+    // fps feeds BOTH the group aggregate and the join back; hash-partition
+    // it by fp ONCE so the two consumers share a single exchange
+    // (ReusedExchange) instead of each re-running the scan + the two
+    // normalization regex passes + md5. Unlike lineDedupStats (where only
+    // a tiny dup subset joins back and a broadcast beats reshuffling the
+    // corpus), here BOTH join sides are corpus-sized — the join must
+    // co-partition on fp at scale anyway, so the explicit repartition
+    // costs nothing extra and halves the scan work. No partition count is
+    // pinned: AQE coalesces it like any other exchange.
     val fps = df.select(col(idCol), md5(norm).as("fp"))
+      .repartition(col("fp"))
     val groups = fps.groupBy(col("fp"))
       .agg(count(lit(1)).cast("long").as("n_copies"),
         min(col(idCol)).as("first_doc"))
