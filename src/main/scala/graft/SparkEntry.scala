@@ -968,7 +968,7 @@ object SparkEntry {
     "q_media_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
-      val media = tblFan(s, dir, "documents").select(col("doc_id"), col("text"))
+      val media = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, t) => graft.operators.Multimodal.mediaFromDoc(id, t) })
         .toDF("media_id", "bytes")
@@ -995,7 +995,7 @@ object SparkEntry {
       // spans all five RFC 2083 filters (pngFromDoc), and the oracle
       // recomputes the sum from the original cycled text bytes — parity
       // proves the decoder's defilter reconstructs the pixels exactly.
-      tblFan(s, dir, "documents").select(col("doc_id"), col("text"))
+      tbl(s, dir, "documents").select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, t) =>
           val (mid, blob) = graft.operators.Multimodal.pngFromDoc(id, t)
